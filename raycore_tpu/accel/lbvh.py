@@ -1,0 +1,242 @@
+"""LBVH construction as a pure-XLA sort/scan/vmap pipeline.
+
+TPU-native redesign of the reference's build kernels (reference:
+src/instanced-bvh.jl:1209-1443 and src/instanced-bvh-kernels.jl). The Karras
+2012 radix-tree searches become fixed-iteration masked loops vectorized over
+all internal nodes; the atomic bottom-up AABB refit (which needs device
+atomics the TPU doesn't expose) becomes idempotent fixpoint union passes —
+after k passes every node within height k of the leaves is exact, and the
+Karras tree depth is bounded by 64 (strictly increasing LCP along any
+root-leaf path: <=31 values while codes differ + <=32 while identical).
+
+Everything here is jit-compatible with static shapes; callers pad to
+power-of-two capacities with far-away sentinel geometry (types.PAD_COORD).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.triangle import Triangle
+from . import morton as _morton
+from .types import (BLAS, INVALID_NODE, NODE_COLS, PAD_COORD, i32_as_f32,
+                    next_pow2, pad_triangles)
+
+MAX_DEPTH = 64  # Karras radix-tree depth bound for 30-bit codes + index tiebreak
+
+
+# ---------------------------------------------------------------------------
+# Karras 2012 radix tree (reference src/instanced-bvh.jl:1209-1295)
+# ---------------------------------------------------------------------------
+
+def _make_delta(codes: jnp.ndarray):
+    """LCP of sorted Morton codes with index tiebreak for duplicates
+    (reference `delta`, src/instanced-bvh.jl:1212-1229). Returns -1 out of
+    bounds. Operates on int32 index arrays of any shape."""
+    n = codes.shape[0]
+
+    def delta(i, j):
+        valid = (j >= 0) & (j < n) & (i >= 0) & (i < n)
+        ic = jnp.clip(i, 0, n - 1)
+        jc = jnp.clip(j, 0, n - 1)
+        ci = jnp.take(codes, ic)
+        cj = jnp.take(codes, jc)
+        d_code = _morton.clz32(ci ^ cj)
+        d_idx = 32 + _morton.clz32(ic.astype(jnp.uint32) ^ jc.astype(jnp.uint32))
+        d = jnp.where(ci == cj, d_idx, d_code)
+        return jnp.where(valid, d, jnp.int32(-1))
+
+    return delta
+
+
+def karras_topology(codes: jnp.ndarray):
+    """Build the radix-tree topology from sorted Morton codes.
+
+    Returns ``(child0, child1, parent)``:
+    - child0/child1: (n-1,) int32 node ids of each internal node's children
+      (internal ids [0, n-2]; leaf id for sorted prim p = (n-1)+p)
+    - parent: (2n-1,) int32, INVALID_NODE at the root.
+
+    Vectorized over all internal nodes at once; the exponential and binary
+    searches run a fixed 32 masked iterations each (n < 2^31), replacing the
+    reference's data-dependent while loops (src/instanced-bvh.jl:1232-1290).
+    """
+    n = codes.shape[0]
+    assert n >= 2
+    delta = _make_delta(codes)
+    i = jnp.arange(n - 1, dtype=jnp.int32)
+
+    # Direction and minimum LCP (span excludes the d=-1 neighbor).
+    d_left = delta(i, i - 1)
+    d_right = delta(i, i + 1)
+    d = jnp.where(d_right > d_left, jnp.int32(1), jnp.int32(-1))
+    delta_min = delta(i, i - d)
+
+    # Exponential search for an upper bound on the span length. The loop
+    # invariant (delta > delta_min iff inside the span) makes the masked
+    # re-check idempotent once the condition first fails.
+    def exp_body(_, l_max):
+        grow = delta(i, i + l_max * d) > delta_min
+        return jnp.where(grow, l_max * 2, l_max)
+
+    l_max = jax.lax.fori_loop(0, 32, exp_body, jnp.full_like(i, 2))
+
+    # Binary search for the exact other end.
+    def bin_body(_, carry):
+        l, t = carry
+        active = t > 1
+        t2 = jnp.where(active, t // 2, t)
+        take = delta(i, i + (l + t2) * d) > delta_min
+        l = jnp.where(active & take, l + t2, l)
+        return l, t2
+
+    l, _ = jax.lax.fori_loop(0, 32, bin_body,
+                             (jnp.zeros_like(i), l_max))
+    j = i + l * d
+    first = jnp.minimum(i, j)
+    last = jnp.maximum(i, j)
+
+    # Binary search for the split position (reference find_split_in_span).
+    num_identical = delta(first, last)
+
+    def split_body(_, carry):
+        left, right = carry
+        active = right > left + 1
+        mid = (left + right) // 2
+        go_left = delta(first, mid) > num_identical
+        new_left = jnp.where(go_left, mid, left)
+        new_right = jnp.where(go_left, right, mid)
+        return (jnp.where(active, new_left, left),
+                jnp.where(active, new_right, right))
+
+    split, _ = jax.lax.fori_loop(0, 32, split_body, (first, last))
+
+    leaf_base = jnp.int32(n - 1)
+    child0 = jnp.where(split == first, leaf_base + split, split)
+    child1 = jnp.where(split + 1 == last, leaf_base + split + 1, split + 1)
+
+    parent = jnp.full((2 * n - 1,), INVALID_NODE, jnp.int32)
+    parent = parent.at[child0].set(i)
+    parent = parent.at[child1].set(i)
+    return child0, child1, parent
+
+
+def refit_aabbs(child0, child1, leaf_min, leaf_max, n_passes=None):
+    """Bottom-up AABB computation without atomics.
+
+    ``leaf_min/max``: (n, 3) AABBs of the sorted leaves. Returns full
+    per-node (2n-1, 3) min/max arrays (internal rows exact after the
+    fixpoint). Replaces the reference's atomic second-arriver protocol
+    (src/instanced-bvh-kernels.jl:239-286) with height-many idempotent
+    gather-union passes.
+    """
+    n = leaf_min.shape[0]
+    if n_passes is None:
+        n_passes = min(MAX_DEPTH, n)
+    mn = jnp.concatenate([jnp.full((n - 1, 3), jnp.inf, jnp.float32), leaf_min])
+    mx = jnp.concatenate([jnp.full((n - 1, 3), -jnp.inf, jnp.float32), leaf_max])
+
+    def body(_, carry):
+        mn, mx = carry
+        i_mn = jnp.minimum(jnp.take(mn, child0, axis=0),
+                           jnp.take(mn, child1, axis=0))
+        i_mx = jnp.maximum(jnp.take(mx, child0, axis=0),
+                           jnp.take(mx, child1, axis=0))
+        return (jnp.concatenate([i_mn, mn[n - 1:]]),
+                jnp.concatenate([i_mx, mx[n - 1:]]))
+
+    return jax.lax.fori_loop(0, n_passes, body, (mn, mx))
+
+
+# ---------------------------------------------------------------------------
+# BLAS build (reference build_blas, src/instanced-bvh.jl:1376-1443)
+# ---------------------------------------------------------------------------
+
+def _tri_bounds(vertices):
+    return jnp.min(vertices, axis=-2), jnp.max(vertices, axis=-2)
+
+
+def _normalize_centroids(centers, scene_min, scene_max):
+    extent = jnp.maximum(scene_max - scene_min, 1e-12)
+    return (centers - scene_min) / extent
+
+
+@partial(jax.jit, static_argnames=("n_real",))
+def _build_blas_padded(tris: Triangle, n_real: int) -> BLAS:
+    """Core jitted build over a capacity-padded Triangle SoA."""
+    cap = tris.vertices.shape[0]
+    v = tris.vertices
+    bmin, bmax = _tri_bounds(v)                         # (cap, 3)
+
+    # Scene bound over the REAL prims only (padding lives at PAD_COORD).
+    scene_min = jnp.min(bmin[:n_real], axis=0)
+    scene_max = jnp.max(bmax[:n_real], axis=0)
+    root_aabb = jnp.stack([scene_min, scene_max])
+
+    centers = 0.5 * (bmin + bmax)
+    codes = _morton.morton_code_30bit(
+        _normalize_centroids(centers, scene_min, scene_max))
+
+    # Stable sort by code, carrying the permutation (reference AK.sortperm).
+    order = jnp.arange(cap, dtype=jnp.int32)
+    codes_sorted, perm = jax.lax.sort((codes, order), num_keys=1,
+                                      is_stable=True)
+    prims = jax.tree_util.tree_map(lambda a: jnp.take(a, perm, axis=0), tris)
+
+    child0, child1, parent = karras_topology(codes_sorted)
+
+    leaf_min, leaf_max = _tri_bounds(prims.vertices)
+    node_min, node_max = refit_aabbs(child0, child1, leaf_min, leaf_max,
+                                     n_passes=min(MAX_DEPTH, cap))
+
+    nodes = pack_nodes_blas(child0, child1, parent, node_min, node_max,
+                            prims.vertices)
+    return BLAS(nodes=nodes, prims=prims, root_aabb=root_aabb,
+                n_prims=n_real, capacity=cap)
+
+
+def pack_nodes_blas(child0, child1, parent, node_min, node_max, sorted_verts):
+    """Pack the (2n-1, 16) node matrix: internal rows carry child AABBs,
+    leaf rows carry inline triangle vertices (BVH2IL; reference
+    create_leaf_nodes_kernel!, src/instanced-bvh-kernels.jl:197-226)."""
+    n = sorted_verts.shape[0]
+    total = 2 * n - 1
+    nodes = jnp.zeros((total, NODE_COLS), jnp.float32)
+
+    # Internal rows [0, n-2].
+    a0min = jnp.take(node_min, child0, axis=0)
+    a0max = jnp.take(node_max, child0, axis=0)
+    a1min = jnp.take(node_min, child1, axis=0)
+    a1max = jnp.take(node_max, child1, axis=0)
+    internal = jnp.concatenate(
+        [a0min, a0max, a1min, a1max,
+         i32_as_f32(child0)[:, None], i32_as_f32(child1)[:, None],
+         i32_as_f32(parent[: n - 1])[:, None],
+         jnp.zeros((n - 1, 1), jnp.float32)], axis=1)
+
+    # Leaf rows [n-1, 2n-2]: inline v0/v1/v2, child1 = sorted prim index.
+    prim_idx = jnp.arange(n, dtype=jnp.int32)
+    leaves = jnp.concatenate(
+        [sorted_verts[:, 0], sorted_verts[:, 1], sorted_verts[:, 2],
+         jnp.zeros((n, 3), jnp.float32),
+         jnp.broadcast_to(i32_as_f32(INVALID_NODE), (n, 1)),
+         i32_as_f32(prim_idx)[:, None],
+         i32_as_f32(parent[n - 1:])[:, None],
+         jnp.zeros((n, 1), jnp.float32)], axis=1)
+
+    return nodes.at[: n - 1].set(internal).at[n - 1:].set(leaves)
+
+
+def build_blas(tris: Triangle, capacity: int | None = None) -> BLAS:
+    """Build a BLAS from a Triangle SoA (any count >= 1).
+
+    Pads to a power-of-two capacity so repeated builds of similar-size
+    meshes reuse the same compiled executable (the reference reallocs exact
+    sizes; shape-bucketing is the jit-friendly equivalent).
+    """
+    n_real = tris.vertices.shape[0]
+    cap = next_pow2(n_real) if capacity is None else int(capacity)
+    assert cap >= max(2, n_real)
+    return _build_blas_padded(pad_triangles(tris, cap), n_real)

@@ -1,0 +1,166 @@
+"""Host-side mesh construction utilities.
+
+Counterpart of the reference's GeometryBasics.Mesh ingestion path
+(reference: src/instanced-bvh.jl:551-646 — expand faceviews, decompose
+vertices/normals/uvs/faces, per-face metadata callback or the default
+``UInt32(face_idx)`` payload, drop degenerate faces).
+
+Mesh decomposition runs on the host in NumPy — it happens once per geometry
+at scene-build time; the resulting Triangle SoA is what lives on device.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.triangle import Triangle
+
+
+def build_triangles(vertices, faces, normals=None, uvs=None, metadata=None,
+                    drop_degenerate=True) -> Triangle:
+    """Build a Triangle SoA from indexed mesh data.
+
+    ``vertices``: (V, 3) float; ``faces``: (F, 3) int (0-based);
+    ``normals``/``uvs``: per-vertex optional; ``metadata``: (F,) uint32 or a
+    callable ``face_idx -> uint32`` applied per face. Defaults to the face
+    index, matching the reference default payload.
+    Degenerate faces (zero cross product) are dropped, as in the reference.
+    """
+    vertices = np.asarray(vertices, np.float32)
+    faces = np.asarray(faces, np.int64)
+    tri_v = vertices[faces]                      # (F, 3, 3)
+
+    if metadata is None:
+        meta = np.arange(len(faces), dtype=np.uint32)
+    elif callable(metadata):
+        meta = np.asarray([metadata(i) for i in range(len(faces))], np.uint32)
+    else:
+        meta = np.asarray(metadata, np.uint32)
+
+    if normals is not None:
+        tri_n = np.asarray(normals, np.float32)[faces]
+    else:
+        e1 = tri_v[:, 1] - tri_v[:, 0]
+        e2 = tri_v[:, 2] - tri_v[:, 0]
+        fn = np.cross(e1, e2)
+        ln = np.linalg.norm(fn, axis=-1, keepdims=True)
+        fn = fn / np.where(ln > 0, ln, 1.0)
+        tri_n = np.repeat(fn[:, None, :], 3, axis=1)
+
+    tri_uv = (np.asarray(uvs, np.float32)[faces] if uvs is not None
+              else np.zeros((len(faces), 3, 2), np.float32))
+
+    if drop_degenerate:
+        cr = np.cross(tri_v[:, 2] - tri_v[:, 0], tri_v[:, 1] - tri_v[:, 0])
+        keep = np.einsum("ij,ij->i", cr, cr) > 0.0
+        tri_v, tri_n, tri_uv, meta = tri_v[keep], tri_n[keep], tri_uv[keep], meta[keep]
+
+    tangents = np.zeros_like(tri_v)
+    return Triangle(
+        vertices=jnp.asarray(tri_v), normals=jnp.asarray(tri_n),
+        tangents=jnp.asarray(tangents), uv=jnp.asarray(tri_uv),
+        metadata=jnp.asarray(meta),
+    )
+
+
+def is_degenerate_face(vertices, face) -> bool:
+    """Host-side degenerate-face predicate (reference build path helper)."""
+    v = np.asarray(vertices, np.float32)[np.asarray(face)]
+    cr = np.cross(v[2] - v[0], v[1] - v[0])
+    return bool(np.dot(cr, cr) <= 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Procedural geometry (used by tests, examples, and the benchmark)
+# ---------------------------------------------------------------------------
+
+def uv_sphere(center=(0, 0, 0), radius=1.0, n_theta=16, n_phi=32):
+    """UV sphere -> (vertices, faces, normals)."""
+    center = np.asarray(center, np.float32)
+    thetas = np.linspace(0, np.pi, n_theta + 1)
+    phis = np.linspace(0, 2 * np.pi, n_phi, endpoint=False)
+    T, P = np.meshgrid(thetas, phis, indexing="ij")
+    x = np.sin(T) * np.cos(P)
+    y = np.sin(T) * np.sin(P)
+    z = np.cos(T)
+    pts = np.stack([x, y, z], -1).reshape(-1, 3).astype(np.float32)
+    verts = center + radius * pts
+
+    def vid(i, j):
+        return i * n_phi + (j % n_phi)
+
+    faces = []
+    for i in range(n_theta):
+        for j in range(n_phi):
+            a, b = vid(i, j), vid(i, j + 1)
+            c, d = vid(i + 1, j + 1), vid(i + 1, j)
+            if i > 0:
+                faces.append((a, b, c))
+            if i < n_theta - 1:
+                faces.append((a, c, d))
+    return verts, np.asarray(faces, np.int64), pts
+
+
+def sphere_mesh(center=(0, 0, 0), radius=1.0, n_theta=16, n_phi=32,
+                metadata=None) -> Triangle:
+    v, f, n = uv_sphere(center, radius, n_theta, n_phi)
+    return build_triangles(v, f, normals=n, metadata=metadata)
+
+
+def box_mesh(p_min=(-1, -1, -1), p_max=(1, 1, 1), metadata=None) -> Triangle:
+    p0 = np.asarray(p_min, np.float32)
+    p1 = np.asarray(p_max, np.float32)
+    corners = np.array([[p1[0] if i & 1 else p0[0],
+                         p1[1] if i & 2 else p0[1],
+                         p1[2] if i & 4 else p0[2]] for i in range(8)],
+                       np.float32)
+    quads = [  # (v0, v1, v2, v3) outward CCW
+        (0, 2, 3, 1),  # -z
+        (4, 5, 7, 6),  # +z
+        (0, 1, 5, 4),  # -y
+        (2, 6, 7, 3),  # +y
+        (0, 4, 6, 2),  # -x
+        (1, 3, 7, 5),  # +x
+    ]
+    faces = []
+    for a, b, c, d in quads:
+        faces.append((a, b, c))
+        faces.append((a, c, d))
+    return build_triangles(corners, np.asarray(faces, np.int64),
+                           metadata=metadata)
+
+
+def plane_mesh(center=(0, 0, 0), u=(1, 0, 0), v=(0, 1, 0), metadata=None) -> Triangle:
+    """A 2-triangle quad: center ± u ± v."""
+    c = np.asarray(center, np.float32)
+    u = np.asarray(u, np.float32)
+    v = np.asarray(v, np.float32)
+    verts = np.stack([c - u - v, c + u - v, c + u + v, c - u + v])
+    faces = np.asarray([(0, 1, 2), (0, 2, 3)], np.int64)
+    return build_triangles(verts, faces, metadata=metadata)
+
+
+def displaced_grid_mesh(n=128, extent=2.0, amplitude=0.35, seed=0,
+                        metadata=None) -> Triangle:
+    """A bumpy heightfield grid with ~2*n^2 triangles — the procedural
+    workload generator for benchmarks (arbitrary triangle counts, spatially
+    coherent like a scanned model rather than random soup)."""
+    rng = np.random.default_rng(seed)
+    xs = np.linspace(-extent / 2, extent / 2, n + 1, dtype=np.float32)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    Z = np.zeros_like(X)
+    # Sum of random smooth waves.
+    for _ in range(6):
+        fx, fy = rng.uniform(0.5, 4.0, 2)
+        ph = rng.uniform(0, 2 * np.pi, 2)
+        Z += np.sin(fx * X * np.pi + ph[0]) * np.sin(fy * Y * np.pi + ph[1])
+    Z *= amplitude / 6.0
+    verts = np.stack([X, Y, Z], -1).reshape(-1, 3).astype(np.float32)
+
+    idx = np.arange((n + 1) * (n + 1)).reshape(n + 1, n + 1)
+    a = idx[:-1, :-1].ravel()
+    b = idx[1:, :-1].ravel()
+    c = idx[1:, 1:].ravel()
+    d = idx[:-1, 1:].ravel()
+    faces = np.concatenate([np.stack([a, b, c], -1), np.stack([a, c, d], -1)])
+    return build_triangles(verts, faces, metadata=metadata)

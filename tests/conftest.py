@@ -1,0 +1,28 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+The driver benches on the real TPU; tests run everywhere. Set platform env
+BEFORE jax import (mirrors the reference's RAYCORE_TEST_BACKEND matrix,
+test/runtests.jl:31-45 — our 'cpu' lane; the TPU lane is exercised by
+bench.py / __graft_entry__.py on hardware).
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The sandbox's sitecustomize force-registers the axon TPU platform and sets
+# jax_platforms="axon,cpu"; override AFTER import so tests run on the 8-device
+# virtual CPU mesh regardless.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
