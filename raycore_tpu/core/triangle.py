@@ -193,7 +193,7 @@ def safe_invdir(d):
     (reference safe_invdir, src/instanced-bvh.jl:1742-1748)."""
     d = jnp.asarray(d, jnp.float32)
     eps = jnp.float32(1e-5)
-    clamped = jnp.where(jnp.abs(d) > eps, d, jnp.where(d >= 0, eps, -eps))
+    clamped = jnp.where(jnp.abs(d) > eps, d, jnp.copysign(eps, d))
     return 1.0 / clamped
 
 
