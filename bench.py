@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark harness: closest_hit throughput on the headline config.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Headline config (BASELINE.md): closest_hit primary rays against a
+1M-triangle scene. The reference (Raycore.jl on an RX 7900 XTX) reaches
+~90 Mrays/s at 1M tris / 1M rays (`benchmarks/implicitbvh_comparison.md:38`);
+the north star is >=500 Mrays/s/chip on TPU v5e.
+
+Scales down gracefully (RAYCORE_BENCH_TRIS / RAYCORE_BENCH_RAYS env vars) so
+it can also run on CPU for smoke checks.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import raycore_tpu as rc
+    from raycore_tpu.scene.tlas import TLAS
+    from raycore_tpu.accel import traversal as trav
+
+    n_tris_target = int(os.environ.get("RAYCORE_BENCH_TRIS", 1_000_000))
+    n_rays = int(os.environ.get("RAYCORE_BENCH_RAYS", 1_048_576))
+    tile = int(os.environ.get("RAYCORE_BENCH_TILE", 65536))
+    reps = int(os.environ.get("RAYCORE_BENCH_REPS", 5))
+
+    # Procedural 1M-tri heightfield (spatially coherent, like a scanned model).
+    grid_n = int(np.sqrt(n_tris_target / 2))
+    t0 = time.time()
+    mesh = rc.displaced_grid_mesh(n=grid_n, extent=2.0, amplitude=0.35)
+    n_tris = mesh.vertices.shape[0]
+
+    scene_mgr = TLAS()
+    scene_mgr.push(mesh, None)
+    build_t0 = time.time()
+    scene = scene_mgr.sync()
+    jax.block_until_ready(scene.unified_nodes)
+    build_ms = (time.time() - build_t0) * 1e3
+
+    # Primary ray grid looking down at the heightfield (the BASELINE.md
+    # "coherent primary rays" configuration).
+    side = int(np.sqrt(n_rays))
+    n_rays = side * side
+    xs = jnp.linspace(-0.95, 0.95, side, dtype=jnp.float32)
+    X, Y = jnp.meshgrid(xs, xs, indexing="ij")
+    o = jnp.stack([X, Y, jnp.full_like(X, 3.0)], -1).reshape(-1, 3)
+    d = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0], jnp.float32), o.shape)
+    rays = rc.Ray.create(o=o, d=d)
+
+    run = lambda: trav.closest_hit(scene, rays, tile_size=tile)
+    # Warmup / compile.
+    res = run()
+    jax.block_until_ready(res.t)
+    hit_frac = float(jnp.mean(res.hit))
+
+    times = []
+    for _ in range(reps):
+        t1 = time.time()
+        res = run()
+        jax.block_until_ready(res.t)
+        times.append(time.time() - t1)
+    best = min(times)
+    mrays = n_rays / best / 1e6
+
+    baseline_mrays = 90.0  # RX 7900 XTX, 1M tris / 1M rays (BASELINE.md)
+    result = {
+        "metric": "closest_hit_primary_mrays_per_s",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / baseline_mrays, 3),
+    }
+    print(json.dumps(result))
+    print(json.dumps({
+        "detail": {
+            "n_tris": int(n_tris), "n_rays": int(n_rays),
+            "hit_frac": round(hit_frac, 4),
+            "build_ms_warm_excluded": round(build_ms, 2),
+            "best_s": round(best, 5),
+            "times_s": [round(t, 5) for t in times],
+            "backend": jax.default_backend(),
+            "tile": tile,
+        }
+    }), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

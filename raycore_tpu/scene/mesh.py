@@ -98,7 +98,14 @@ def uv_sphere(center=(0, 0, 0), radius=1.0, n_theta=16, n_phi=32):
                 faces.append((a, b, c))
             if i < n_theta - 1:
                 faces.append((a, c, d))
-    return verts, np.asarray(faces, np.int64), pts
+    faces = np.asarray(faces, np.int64)
+    # Orient faces so geometric normals point outward (away from center).
+    tv = verts[faces]
+    n = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+    outward = tv.mean(1) - center
+    flip = np.einsum("ij,ij->i", n, outward) < 0
+    faces[flip] = faces[flip][:, ::-1]
+    return verts, faces, pts
 
 
 def sphere_mesh(center=(0, 0, 0), radius=1.0, n_theta=16, n_phi=32,

@@ -1,0 +1,220 @@
+"""Analysis layer, collision, renderer, and MultiTypeSet tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import raycore_tpu as rc
+from raycore_tpu.scene.tlas import TLAS
+from raycore_tpu.analysis import kernels as ak
+from raycore_tpu.analysis.collision import collide_instances, collide_instances_any
+from raycore_tpu.collections import multitypeset as mts
+from raycore_tpu.render.wavefront import WavefrontRenderer, RenderConfig
+from raycore_tpu.render.scenes import example_scene
+
+
+def sphere_scene(radius=1.0):
+    mgr = TLAS()
+    h = mgr.push(rc.sphere_mesh(radius=radius, n_theta=16, n_phi=32), None)
+    return mgr, h
+
+
+# ---------------------------------------------------------------------------
+# Ray grid / centroid / illumination
+# ---------------------------------------------------------------------------
+
+def test_generate_ray_grid_covers_scene():
+    mgr, _ = sphere_scene()
+    scene = mgr.sync()
+    origins = np.asarray(ak.generate_ray_grid(scene, jnp.array([0.0, 0, -1.0]), 16))
+    assert origins.shape == (16, 16, 3)
+    # Grid plane is behind the scene along the view direction (-z => above).
+    assert origins[..., 2].min() > 1.0
+
+
+def test_hits_from_grid_and_centroid():
+    mgr, _ = sphere_scene()
+    scene = mgr.sync()
+    hits, centroid = ak.get_centroid(scene, jnp.array([0.0, 0, -1.0]),
+                                     grid_size=32, tile_size=1024)
+    h = np.asarray(hits.hit)
+    assert 0.3 < h.mean() < 0.85   # disk fraction of padded grid
+    c = np.asarray(centroid)
+    # Visible cap centroid: x,y ~ 0, z > 0 (viewed from +z).
+    assert abs(c[0]) < 0.1 and abs(c[1]) < 0.1 and c[2] > 0.3
+
+
+def test_illumination_counts():
+    mgr, _ = sphere_scene()
+    scene = mgr.sync()
+    n_bins = int(scene.prims.metadata.shape[0])
+    illum = np.asarray(ak.get_illumination(
+        scene, jnp.array([0.0, 0, -1.0]), grid_size=64, n_bins=n_bins,
+        tile_size=1024))
+    assert illum.sum() > 0
+    # Rays come from +z: lit triangles are predominantly upward-facing
+    # (grazing silhouette hits allow slight negatives).
+    v = np.asarray(scene.prims.vertices)
+    nrm = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+    ln = np.linalg.norm(nrm, axis=-1)
+    nz = nrm[:, 2] / np.where(ln > 0, ln, 1.0)
+    meta = np.asarray(scene.prims.metadata)
+    lit_tris = np.isin(meta.astype(np.int64), np.nonzero(illum > 0)[0]) & (ln > 0)
+    assert nz[lit_tris].mean() > 0.2
+    # Total counts equal total hits in the grid.
+    hits = ak.hits_from_grid(scene, jnp.array([0.0, 0, -1.0]), grid_size=64,
+                             tile_size=1024)
+    assert illum.sum() == pytest.approx(float(np.asarray(hits.hit).sum()))
+
+
+def test_view_factors_symmetry_tendency():
+    # Two parallel unit quads facing each other.
+    mgr = TLAS()
+    a = rc.plane_mesh(center=(0, 0, 0), u=(1, 0, 0), v=(0, 1, 0))
+    b = rc.plane_mesh(center=(0, 0, 1.0), u=(1, 0, 0), v=(0, 1, 0))
+    a = a.replace(metadata=jnp.asarray([0, 1], jnp.uint32))
+    b = b.replace(metadata=jnp.asarray([2, 3], jnp.uint32))
+    mgr.push(a, None)
+    mgr.push(b, None)
+    scene = mgr.sync()
+    tris = jax.tree_util.tree_map(
+        lambda x, y: jnp.concatenate([x, y]), a, b)
+    vf = np.asarray(ak.view_factors(scene, tris, jax.random.PRNGKey(0),
+                                    rays_per_triangle=512, n_bins=4,
+                                    ray_batch=128, tile_size=1024))
+    assert vf.shape == (4, 4)
+    assert np.all(np.diag(vf) == 0)          # self-hits excluded
+    # Quad A's triangles see quad B's (upper-right block nonzero).
+    assert vf[:2, 2:].sum() > 0
+    # Each source fired 512 rays; hits can't exceed that.
+    assert vf.max() <= 512
+
+
+# ---------------------------------------------------------------------------
+# Collision
+# ---------------------------------------------------------------------------
+
+def test_collide_instances_pairs():
+    mgr = TLAS()
+    s = rc.sphere_mesh(radius=1.0, n_theta=8, n_phi=16)
+    tr = lambda x: np.array([[1, 0, 0, x], [0, 1, 0, 0], [0, 0, 1, 0]], np.float32)
+    mgr.push(s, tr(0.0))    # 0 overlaps 1
+    mgr.push(s, tr(1.5))    # 1 overlaps 0 and 2
+    mgr.push(s, tr(3.0))    # 2 overlaps 1
+    mgr.push(s, tr(10.0))   # 3 isolated
+    scene = mgr.sync()
+    res = collide_instances(scene)
+    pairs = {tuple(p) for p in np.asarray(res.contacts)[:res.num_contacts]}
+    assert pairs == {(0, 1), (1, 2)}
+    assert res.num_contacts == 2
+
+
+def test_collide_instances_none():
+    mgr = TLAS()
+    s = rc.sphere_mesh(radius=0.5, n_theta=8, n_phi=16)
+    for k in range(3):
+        t = np.eye(3, 4, dtype=np.float32)
+        t[0, 3] = 5.0 * k
+        mgr.push(s, t)
+    res = collide_instances(mgr.sync())
+    assert res.num_contacts == 0
+
+
+def test_collide_instances_any():
+    mgr = TLAS()
+    s = rc.sphere_mesh(radius=1.0, n_theta=8, n_phi=16)
+    h1 = mgr.push(s, None)
+    t = np.eye(3, 4, dtype=np.float32); t[0, 3] = 1.0
+    h2 = mgr.push(s, t)
+    t2 = np.eye(3, 4, dtype=np.float32); t2[0, 3] = 9.0
+    h3 = mgr.push(s, t2)
+    assert collide_instances_any(mgr, h1, h2)
+    assert not collide_instances_any(mgr, h1, h3)
+
+
+# ---------------------------------------------------------------------------
+# MultiTypeSet
+# ---------------------------------------------------------------------------
+
+def test_multitypeset_push_dispatch():
+    s = mts.MultiTypeSet()
+    k1 = s.push({"albedo": 0.8, "sigma": 1.0}, "matte")
+    k2 = s.push({"eta": 1.5, "k": 2.0}, "metal")
+    k3 = s.push({"albedo": 0.3, "sigma": 0.5}, "matte")
+    assert s.n_slots == 2 and len(s) == 3
+    st = s.get_static()
+    fns = [lambda row: row["albedo"] * 2.0,        # matte
+           lambda row: row["eta"] + row["k"]]      # metal
+    assert float(mts.with_index(fns, st, k1)) == pytest.approx(1.6)
+    assert float(mts.with_index(fns, st, k2)) == pytest.approx(3.5)
+    assert float(mts.with_index(fns, st, k3)) == pytest.approx(0.6)
+
+
+def test_multitypeset_update_and_invalid_noop():
+    s = mts.MultiTypeSet()
+    k = s.push({"v": 1.0}, "a")
+    s.update(k, {"v": 5.0})
+    st = s.get_static()
+    assert float(mts.with_index([lambda r: r["v"]], st, k)) == 5.0
+    # Invalid key update is a no-op (reference regression,
+    # test/test_multitypeset.jl:45-61).
+    s.update(mts.SetKey(*mts.INVALID_KEY), {"v": 9.0})
+    st2 = s.get_static()
+    assert float(mts.with_index([lambda r: r["v"]], st2, k)) == 5.0
+    assert bool(mts.is_invalid(mts.SetKey(-1, -1)))
+    assert not bool(mts.is_invalid(k))
+
+
+def test_multitypeset_textures():
+    s = mts.MultiTypeSet()
+    tex = np.linspace(0, 1, 16, dtype=np.float32).reshape(4, 4)
+    k = s.push({"scale": 2.0, "tex": tex}, "textured")
+    st = s.get_static()
+
+    def make_sampler(pool):
+        def sample_mat(row):
+            uv = jnp.array([0.9, 0.9], jnp.float32)
+            t = mts.sample_nearest(pool, row["tex"], uv)
+            return t[0] * row["scale"]
+        return sample_mat
+
+    val = float(mts.with_index([make_sampler(st.textures)], st, k))
+    assert val == pytest.approx(2.0 * tex[3, 3], rel=1e-5)
+    # update! reuses the texture slot for same-shape data.
+    s.update(k, {"scale": 2.0, "tex": tex * 0.5})
+    st2 = s.get_static()
+    val2 = float(mts.with_index([make_sampler(st2.textures)], st2, k))
+    assert val2 == pytest.approx(tex[3, 3], rel=1e-5)
+    assert st2.textures.records.shape == st.textures.records.shape
+
+
+def test_multitypeset_batched_keys():
+    s = mts.MultiTypeSet()
+    for v in (1.0, 2.0, 3.0):
+        s.push({"v": v}, "a")
+    for w in (10.0, 20.0):
+        s.push({"w": w}, "b")
+    st = s.get_static()
+    keys = jnp.asarray([[0, 0], [1, 1], [0, 2]], jnp.int32)
+    f = jax.vmap(lambda k: mts.with_index(
+        [lambda r: r["v"], lambda r: r["w"]], st, k))
+    np.testing.assert_allclose(np.asarray(f(keys)), [1.0, 20.0, 3.0])
+
+
+# ---------------------------------------------------------------------------
+# Wavefront renderer
+# ---------------------------------------------------------------------------
+
+def test_wavefront_render_smoke():
+    scene, materials, lights, camera = example_scene()
+    r = WavefrontRenderer(scene, materials, lights, camera,
+                          RenderConfig(width=64, height=48, spp=1,
+                                       tile_size=1024))
+    img = np.asarray(r.render(jax.random.PRNGKey(1)))
+    assert img.shape == (48, 64, 3)
+    assert np.all(img >= 0) and np.all(img <= 1)
+    # Scene is actually visible: decent hit coverage and color variation.
+    assert img.std() > 0.02
+    bg = np.array([0.05, 0.07, 0.12])
+    fg = np.abs(img - bg).sum(-1) > 0.05
+    assert fg.mean() > 0.3

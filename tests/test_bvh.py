@@ -216,8 +216,8 @@ def test_tlas_two_instances_ids_and_selection():
     h2 = t.push(sphere(), tr2)
     scene = t.sync()
     assert t.n_instances == 2 and t.n_geometries == 2
-    r1 = trav.closest_hit(scene, rc.Ray.create(o=[0.0, 0, -4], d=[0.0, 0, 1]))
-    r2 = trav.closest_hit(scene, rc.Ray.create(o=[3.0, 0, -4], d=[0.0, 0, 1]))
+    r1 = trav.closest_hit(scene, rc.Ray.create(o=[0.05, 0.02, -4], d=[0.0, 0, 1]))
+    r2 = trav.closest_hit(scene, rc.Ray.create(o=[3.05, 0.02, -4], d=[0.0, 0, 1]))
     assert int(r1.instance_idx) == 0 and int(r2.instance_idx) == 1
     assert float(r1.t) == pytest.approx(3.0, abs=0.05)
     # Ray between instances misses.
@@ -232,7 +232,7 @@ def test_tlas_scaled_rotated_transform():
     tr[0, 0] = tr[1, 1] = tr[2, 2] = 2.0
     t.push(sphere(), tr)
     scene = t.sync()
-    r = trav.closest_hit(scene, rc.Ray.create(o=[0.0, 0, -6], d=[0.0, 0, 1]))
+    r = trav.closest_hit(scene, rc.Ray.create(o=[0.05, 0.02, -6], d=[0.0, 0, 1]))
     assert bool(r.hit)
     assert float(r.t) == pytest.approx(4.0, abs=0.1)  # 6 - 2*radius
     wb = np.asarray(scene.root_aabb)
@@ -247,7 +247,7 @@ def test_tlas_closest_across_instances():
     t.push(sphere(), far)
     t.push(sphere(), None)
     scene = t.sync()
-    r = trav.closest_hit(scene, rc.Ray.create(o=[0.0, 0, -4], d=[0.0, 0, 1]))
+    r = trav.closest_hit(scene, rc.Ray.create(o=[0.05, 0.02, -4], d=[0.0, 0, 1]))
     assert int(r.instance_idx) == 1
     assert float(r.t) == pytest.approx(3.0, abs=0.05)
 
@@ -271,14 +271,14 @@ def test_update_transform_refit():
     t = TLAS()
     h = t.push(sphere(), None)
     s1 = t.sync()
-    assert bool(trav.closest_hit(s1, rc.Ray.create(o=[0.0, 0, -4], d=[0.0, 0, 1])).hit)
+    assert bool(trav.closest_hit(s1, rc.Ray.create(o=[0.05, 0.02, -4], d=[0.0, 0, 1])).hit)
     m = np.eye(3, 4, dtype=np.float32)
     m[0, 3] = 10.0
     t.update_transform(h, m)
     s2 = t.sync()
     assert s2.unified_nodes.shape == s1.unified_nodes.shape  # no realloc shape churn
-    assert not bool(trav.closest_hit(s2, rc.Ray.create(o=[0.0, 0, -4], d=[0.0, 0, 1])).hit)
-    assert bool(trav.closest_hit(s2, rc.Ray.create(o=[10.0, 0, -4], d=[0.0, 0, 1])).hit)
+    assert not bool(trav.closest_hit(s2, rc.Ray.create(o=[0.05, 0.02, -4], d=[0.0, 0, 1])).hit)
+    assert bool(trav.closest_hit(s2, rc.Ray.create(o=[10.05, 0.02, -4], d=[0.0, 0, 1])).hit)
 
 
 def test_delete_and_compaction():
@@ -291,8 +291,8 @@ def test_delete_and_compaction():
     scene = t.sync()
     assert t.n_instances == 1 and t.n_geometries == 1
     assert not t.is_valid(h1) and t.is_valid(h2)
-    assert not bool(trav.closest_hit(scene, rc.Ray.create(o=[0.0, 0, -4], d=[0.0, 0, 1])).hit)
-    r = trav.closest_hit(scene, rc.Ray.create(o=[3.0, 0, -4], d=[0.0, 0, 1]))
+    assert not bool(trav.closest_hit(scene, rc.Ray.create(o=[0.05, 0.02, -4], d=[0.0, 0, 1])).hit)
+    r = trav.closest_hit(scene, rc.Ray.create(o=[3.05, 0.02, -4], d=[0.0, 0, 1]))
     assert bool(r.hit) and int(r.instance_idx) == 0  # compacted index
     with pytest.raises(KeyError):
         t.update_transform(h1, np.eye(3, 4, dtype=np.float32))
@@ -333,6 +333,6 @@ def test_ray_inside_instance():
     t = TLAS()
     t.push(sphere(), None)
     scene = t.sync()
-    r = trav.closest_hit(scene, rc.Ray.create(o=[0.0, 0, 0], d=[0.0, 0, 1]))
+    r = trav.closest_hit(scene, rc.Ray.create(o=[0.05, 0.02, 0], d=[0.0, 0, 1]))
     assert bool(r.hit)
     assert float(r.t) == pytest.approx(1.0, abs=0.05)

@@ -108,14 +108,14 @@ def test_empty_triangle_sentinel():
 
 def test_brute_force_closest_hit_sphere():
     tris = rc.sphere_mesh(center=(0, 0, 0), radius=1.0, n_theta=24, n_phi=48)
-    rays = rc.Ray.create(o=[0.0, 0, -4.0], d=[0.0, 0, 1.0])
+    rays = rc.Ray.create(o=[0.05, 0.02, -4.0], d=[0.0, 0, 1.0])
     res = rc.closest_hit_brute(tris, rays)
     assert bool(res.hit)
     # Faceted sphere: entry depth slightly above 3 = 4 - radius.
     assert float(res.t) == pytest.approx(3.0, abs=0.02)
     assert np.asarray(res.barycentric).sum() == pytest.approx(1.0, rel=1e-5)
     # Miss path returns the zero sentinel.
-    miss = rc.closest_hit_brute(tris, rc.Ray.create(o=[0, 5, -4.0], d=[0, 0, 1.0]))
+    miss = rc.closest_hit_brute(tris, rc.Ray.create(o=[0.05, 5, -4.0], d=[0, 0, 1.0]))
     assert not bool(miss.hit)
     assert np.all(np.asarray(miss.triangle.vertices) == 0)
     assert float(miss.t) == 0.0
