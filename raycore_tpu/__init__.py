@@ -7,6 +7,24 @@ in Python form: SoA pytrees instead of isbits structs, explicit PRNG keys,
 0-based indices, and `sync()` as the jit commit boundary.
 """
 
+import os as _os
+
+# Persistent compilation cache: first-time XLA compiles of the build and
+# traversal programs are expensive on the tunneled TPU backend; cache them
+# across processes. Harmless on CPU.
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       _os.path.expanduser("~/.jax_cache"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax as _jax
+
+try:
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ["JAX_COMPILATION_CACHE_DIR"])
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 from .core.ray import (Ray, RayDifferentials, apply, check_direction,
                        increase_hit, scale_differentials, set_direction)
 from .core.bounds import (Bounds2, Bounds3, union, intersect_bounds, overlaps,
@@ -27,7 +45,31 @@ from .core.triangle import (Triangle, empty_triangle, area, normal,
 from .core import sampling
 from .core.sampling import reflect
 from .accel.brute import HitResult, closest_hit_brute, any_hit_brute
+from .accel.types import (BLAS, Instances, StaticTLAS, INVALID_NODE,
+                          TOP_LEVEL_SENTINEL)
+from .accel.lbvh import build_blas, karras_topology, refit_aabbs
+from .accel.traversal import closest_hit, any_hit
+from .accel.wide import BLAS4, build_blas4, collapse_blas, closest_hit4, any_hit4
+from .accel.transport import (RTRay, RTHitResult, trace_closest_hits,
+                              trace_any_hits)
+from .accel.protocol import AbstractAccel, TLASAccel, BruteAccel
+from .scene.tlas import TLAS, TLASHandle, INVALID_HANDLE, blas_to_static_tlas
 from .scene.mesh import (build_triangles, is_degenerate_face, sphere_mesh,
                          box_mesh, plane_mesh, displaced_grid_mesh)
+from .collections.multitypeset import (MultiTypeSet, StaticMultiTypeSet,
+                                       SetKey, TexturePool, with_index,
+                                       is_invalid, is_valid_key,
+                                       sample_nearest, sample_bilinear)
+from .analysis.kernels import (RayHits, generate_ray_grid, hits_from_grid,
+                               get_centroid, get_illumination, view_factors)
+from .analysis.collision import (CollisionResult, collide_instances,
+                                 collide_instances_any)
+from .render.wavefront import (WavefrontRenderer, RenderConfig, Materials,
+                               PointLights, Camera, render_step)
+from .render.scenes import example_scene, particle_scene
+from .utils.soa import (soa_get, soa_set, similar_soa, for_unrolled,
+                        map_unrolled, reduce_unrolled, sum_unrolled,
+                        switch_apply)
+from .parallel import sharding
 
 __version__ = "0.1.0"
