@@ -21,8 +21,8 @@ import jax.numpy as jnp
 
 from ..core.triangle import Triangle
 from . import morton as _morton
-from .types import (BLAS, INVALID_NODE, NODE_COLS, PAD_COORD, i32_as_f32,
-                    next_pow2, pad_triangles)
+from .types import (BLAS, INVALID_NODE, NODE_COLS, PAD_COORD, f32_as_i32,
+                    i32_as_f32, next_pow2, pad_triangles)
 
 MAX_DEPTH = 64  # Karras radix-tree depth bound for 30-bit codes + index tiebreak
 
@@ -198,12 +198,15 @@ def _build_blas_padded(tris: Triangle, n_real: int) -> BLAS:
 
 
 def pack_nodes_blas(child0, child1, parent, node_min, node_max, sorted_verts):
-    """Pack the (2n-1, 16) node matrix: internal rows carry child AABBs,
-    leaf rows carry inline triangle vertices (BVH2IL; reference
-    create_leaf_nodes_kernel!, src/instanced-bvh-kernels.jl:197-226)."""
+    """Pack the (2n-1, 16) int32 node matrix: internal rows carry child
+    AABBs, leaf rows carry inline triangle vertices (BVH2IL; reference
+    create_leaf_nodes_kernel!, src/instanced-bvh-kernels.jl:197-226).
+
+    Float fields are bitcast to int32 so the matrix is int-typed end to
+    end: TPU float paths canonicalize NaNs, and INVALID_NODE (-1) bitcast
+    to f32 is a NaN pattern — keeping the storage integral preserves it.
+    """
     n = sorted_verts.shape[0]
-    total = 2 * n - 1
-    nodes = jnp.zeros((total, NODE_COLS), jnp.float32)
 
     # Internal rows [0, n-2].
     a0min = jnp.take(node_min, child0, axis=0)
@@ -211,22 +214,21 @@ def pack_nodes_blas(child0, child1, parent, node_min, node_max, sorted_verts):
     a1min = jnp.take(node_min, child1, axis=0)
     a1max = jnp.take(node_max, child1, axis=0)
     internal = jnp.concatenate(
-        [a0min, a0max, a1min, a1max,
-         i32_as_f32(child0)[:, None], i32_as_f32(child1)[:, None],
-         i32_as_f32(parent[: n - 1])[:, None],
-         jnp.zeros((n - 1, 1), jnp.float32)], axis=1)
+        [f32_as_i32(jnp.concatenate([a0min, a0max, a1min, a1max], axis=1)),
+         child0[:, None], child1[:, None], parent[: n - 1][:, None],
+         jnp.zeros((n - 1, 1), jnp.int32)], axis=1)
 
     # Leaf rows [n-1, 2n-2]: inline v0/v1/v2, child1 = sorted prim index.
     prim_idx = jnp.arange(n, dtype=jnp.int32)
     leaves = jnp.concatenate(
-        [sorted_verts[:, 0], sorted_verts[:, 1], sorted_verts[:, 2],
-         jnp.zeros((n, 3), jnp.float32),
-         jnp.broadcast_to(i32_as_f32(INVALID_NODE), (n, 1)),
-         i32_as_f32(prim_idx)[:, None],
-         i32_as_f32(parent[n - 1:])[:, None],
-         jnp.zeros((n, 1), jnp.float32)], axis=1)
+        [f32_as_i32(jnp.concatenate(
+            [sorted_verts[:, 0], sorted_verts[:, 1], sorted_verts[:, 2],
+             jnp.zeros((n, 3), jnp.float32)], axis=1)),
+         jnp.full((n, 1), INVALID_NODE, jnp.int32),
+         prim_idx[:, None], parent[n - 1:][:, None],
+         jnp.zeros((n, 1), jnp.int32)], axis=1)
 
-    return nodes.at[: n - 1].set(internal).at[n - 1:].set(leaves)
+    return jnp.concatenate([internal, leaves], axis=0)
 
 
 def build_blas(tris: Triangle, capacity: int | None = None) -> BLAS:

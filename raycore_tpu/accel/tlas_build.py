@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from ..core.transforms import transform_point_3x4
 from . import morton as _morton
 from .lbvh import MAX_DEPTH, karras_topology, refit_aabbs
-from .types import INVALID_NODE, NODE_COLS, PAD_COORD, Instances, i32_as_f32
+from .types import (INVALID_NODE, NODE_COLS, PAD_COORD, Instances,
+                    f32_as_i32, i32_as_f32)
 
 DEGENERATE_EXTENT = 1e-6  # reference clamp (src/instanced-bvh.jl:1517-1521)
 
@@ -70,29 +71,26 @@ def build_tlas_nodes(instances: Instances, blas_root_aabb):
     node_min, node_max = refit_aabbs(child0, child1, smin, smax,
                                      n_passes=min(MAX_DEPTH, icap))
 
-    total = 2 * icap - 1
-    nodes = jnp.zeros((total, NODE_COLS), jnp.float32)
-
     a0min = jnp.take(node_min, child0, axis=0)
     a0max = jnp.take(node_max, child0, axis=0)
     a1min = jnp.take(node_min, child1, axis=0)
     a1max = jnp.take(node_max, child1, axis=0)
     internal = jnp.concatenate(
-        [a0min, a0max, a1min, a1max,
-         i32_as_f32(child0)[:, None], i32_as_f32(child1)[:, None],
-         i32_as_f32(parent[: icap - 1])[:, None],
-         jnp.zeros((icap - 1, 1), jnp.float32)], axis=1)
+        [f32_as_i32(jnp.concatenate([a0min, a0max, a1min, a1max], axis=1)),
+         child0[:, None], child1[:, None], parent[: icap - 1][:, None],
+         jnp.zeros((icap - 1, 1), jnp.int32)], axis=1)
 
     # Leaves: world AABB in the aabb0 slots + ORIGINAL instance index in
     # child1 (reference create_tlas_leaf_nodes_kernel!,
-    # src/instanced-bvh-kernels.jl:360-375).
+    # src/instanced-bvh-kernels.jl:360-375). Int32-packed like the BLAS
+    # nodes (see types.py: NaN-canonicalization hazard).
     leaves = jnp.concatenate(
-        [smin, smax, jnp.zeros((icap, 6), jnp.float32),
-         jnp.broadcast_to(i32_as_f32(INVALID_NODE), (icap, 1)),
-         i32_as_f32(perm)[:, None],
-         i32_as_f32(parent[icap - 1:])[:, None],
-         jnp.zeros((icap, 1), jnp.float32)], axis=1)
+        [f32_as_i32(jnp.concatenate(
+            [smin, smax, jnp.zeros((icap, 6), jnp.float32)], axis=1)),
+         jnp.full((icap, 1), INVALID_NODE, jnp.int32),
+         perm[:, None], parent[icap - 1:][:, None],
+         jnp.zeros((icap, 1), jnp.int32)], axis=1)
 
-    nodes = nodes.at[: icap - 1].set(internal).at[icap - 1:].set(leaves)
+    nodes = jnp.concatenate([internal, leaves], axis=0)
     root_aabb = jnp.stack([scene_min, scene_max])
     return nodes, root_aabb

@@ -26,7 +26,8 @@ from ..core.bounds import fast_intersect_bbox
 from ..core.transforms import transform_point_3x4, transform_direction_3x4
 from ..core.triangle import fast_intersect_triangle, safe_invdir
 from .brute import HitResult, gather_triangles, _mask_triangle
-from .types import INVALID_NODE, TOP_LEVEL_SENTINEL, StaticTLAS, f32_as_i32
+from .types import (INVALID_NODE, TOP_LEVEL_SENTINEL, StaticTLAS,
+                    f32_as_i32, i32_as_f32)
 
 _INVALID = jnp.int32(INVALID_NODE)
 _SENTINEL = jnp.int32(TOP_LEVEL_SENTINEL)
@@ -73,9 +74,10 @@ def _traverse_tile(tlas: StaticTLAS, o_w, d_w, t_min, t_max0, *,
 
         # --- fetch packed node row (single gather) ----------------------
         row = jnp.clip(base + node, 0, nodes.shape[0] - 1)
-        nf = jnp.take(nodes, row, axis=0)                # (R, 16)
-        c0 = f32_as_i32(nf[:, 12])
-        c1 = f32_as_i32(nf[:, 13])
+        nfi = jnp.take(nodes, row, axis=0)               # (R, 16) int32
+        nf = i32_as_f32(nfi[:, :12])                     # float fields
+        c0 = nfi[:, 12]
+        c1 = nfi[:, 13]
         is_leaf = c0 == _INVALID
         is_top = inst < 0
 
@@ -218,7 +220,7 @@ def _trace(tlas: StaticTLAS, o, d, t_min, t_max, *, any_hit: bool,
 
 
 def closest_hit(tlas: StaticTLAS, rays: Ray, *, stack_size: int = 64,
-                tile_size: int = 16384, max_iters: int = 1 << 24) -> HitResult:
+                tile_size: int = 16384, max_iters: int = 1 << 17) -> HitResult:
     """Closest-hit query over a batched Ray (reference closest_hit,
     src/instanced-bvh.jl:1902-2023). Returns a HitResult pytree with the
     ray batch shape; zero-triangle sentinel and -1 indices on miss."""
@@ -233,7 +235,7 @@ def closest_hit(tlas: StaticTLAS, rays: Ray, *, stack_size: int = 64,
 
 
 def any_hit(tlas: StaticTLAS, rays: Ray, *, stack_size: int = 64,
-            tile_size: int = 16384, max_iters: int = 1 << 24) -> HitResult:
+            tile_size: int = 16384, max_iters: int = 1 << 17) -> HitResult:
     """First-hit occlusion query; forces t_min = 0 like the reference
     (src/instanced-bvh.jl:2045) and terminates each lane on its first hit.
     The reported hit is traversal-order-first, not closest — only the

@@ -4,8 +4,11 @@ TPU-native redesign of the reference's node/descriptor types (reference:
 src/instanced-bvh.jl:28-168). Differences, by design:
 
 - Nodes are NOT 64-byte AoS structs; they are rows of a packed ``(N, 16)``
-  float32 SoA matrix (int fields bitcast), so one traversal step costs one
-  row gather. Layout per row:
+  **int32** SoA matrix (float fields bitcast to int32), so one traversal
+  step costs one row gather. The matrix is int-typed end-to-end because
+  TPU float paths canonicalize NaNs, and the int sentinel -1 bitcast to
+  f32 IS a NaN — storing ints and bitcasting slices to f32 *after* the
+  gather keeps every bit pattern intact. Layout per row:
 
       cols 0:3   aabb0_min   | leaf: v0            (BVH2IL inline vertices)
       cols 3:6   aabb0_max   | leaf: v1
@@ -63,7 +66,7 @@ class BLAS:
     them); capacity-padded rows hold far-away sentinel triangles.
     """
 
-    nodes: jnp.ndarray          # (2*cap-1, 16) float32 packed
+    nodes: jnp.ndarray          # (2*cap-1, 16) int32 packed (f32 bitcast)
     prims: Triangle             # (cap, ...) sorted SoA
     root_aabb: jnp.ndarray      # (2, 3) float32 over REAL prims only
     n_prims: int = struct.field(pytree_node=False)   # real count
@@ -99,7 +102,7 @@ class StaticTLAS:
     TLAS block, i.e. they are absolute row bases into ``unified_nodes``.
     """
 
-    unified_nodes: jnp.ndarray      # (2*icap-1 + sum nodes_b, 16) float32
+    unified_nodes: jnp.ndarray      # (2*icap-1 + sum nodes_b, 16) int32 packed
     instances: Instances            # (icap, ...)
     prims: Triangle                 # (sum cap_b, ...) all BLAS prims, sorted
     blas_nodes_offset: jnp.ndarray  # (B,) int32 — absolute base rows

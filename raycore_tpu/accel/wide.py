@@ -43,7 +43,7 @@ _INVALID = jnp.int32(-1)
 @struct.dataclass
 class BLAS4:
     """4-wide BLAS (reference BLAS4, src/bvh4.jl:154-166)."""
-    nodes4: jnp.ndarray      # (cap-1, 32) float32 packed
+    nodes4: jnp.ndarray      # (cap-1, 32) int32 packed (f32 bitcast)
     prims: Triangle          # (cap,) sorted SoA (shared with the BVH2 build)
     root_aabb: jnp.ndarray   # (2, 3)
     n_prims: int = struct.field(pytree_node=False)
@@ -52,9 +52,11 @@ class BLAS4:
 
 def _node2_aabb(nodes2, ids):
     """AABB of an arbitrary BVH2 node id: internal rows store child AABBs
-    (union them); leaf rows store inline vertices (bound them)."""
-    nf = jnp.take(nodes2, ids, axis=0)
-    is_leaf = f32_as_i32(nf[:, 12]) == INVALID_NODE
+    (union them); leaf rows store inline vertices (bound them).
+    ``nodes2`` is the int32-packed matrix; float slices are bitcast."""
+    nfi = jnp.take(nodes2, ids, axis=0)
+    nf = i32_as_f32(nfi[:, :12])
+    is_leaf = nfi[:, 12] == INVALID_NODE
     int_min = jnp.minimum(nf[:, 0:3], nf[:, 6:9])
     int_max = jnp.maximum(nf[:, 3:6], nf[:, 9:12])
     v = jnp.stack([nf[:, 0:3], nf[:, 3:6], nf[:, 6:9]], axis=1)
@@ -70,8 +72,8 @@ def _collapse(nodes2):
     total = nodes2.shape[0]
     n = (total + 1) // 2            # capacity (leaf count)
     ni = n - 1                      # internal rows
-    c0 = f32_as_i32(nodes2[:ni, 12])
-    c1 = f32_as_i32(nodes2[:ni, 13])
+    c0 = nodes2[:ni, 12]
+    c1 = nodes2[:ni, 13]
     leaf_base = n - 1
 
     def expand(c):
@@ -79,8 +81,8 @@ def _collapse(nodes2):
         Leaf child -> (leaf c, empty); internal child -> its two children."""
         c_is_leaf = c >= leaf_base
         cc = jnp.clip(c, 0, ni - 1)
-        g0 = f32_as_i32(jnp.take(nodes2[:, 12], cc))
-        g1 = f32_as_i32(jnp.take(nodes2[:, 13], cc))
+        g0 = jnp.take(nodes2[:, 12], cc)
+        g1 = jnp.take(nodes2[:, 13], cc)
         # NOTE: g0/g1 of a leaf row are (INVALID, prim) — masked out below.
         slot_a = jnp.where(c_is_leaf, c, g0)
         slot_b = jnp.where(c_is_leaf, _INVALID, g1)
@@ -99,16 +101,15 @@ def _collapse(nodes2):
     # Encode refs: leaf -> LEAF_BIT | sorted prim idx (child1 of leaf row);
     # internal -> BVH4 row index (same id).
     slot_is_leaf = slots >= leaf_base
-    prim_idx = f32_as_i32(
-        jnp.take(nodes2[:, 13], jnp.clip(slots, 0, total - 1).reshape(-1))
+    prim_idx = jnp.take(
+        nodes2[:, 13], jnp.clip(slots, 0, total - 1).reshape(-1)
     ).reshape(ni, 4)
     refs = jnp.where(slot_is_leaf, LEAF_BIT | prim_idx, slots)
     refs = jnp.where(valid, refs, _INVALID)
 
     boxes = jnp.concatenate([mn, mx], axis=2).reshape(ni, 24)
     packed = jnp.concatenate(
-        [boxes, i32_as_f32(refs), jnp.zeros((ni, 8 - 4), jnp.float32)],
-        axis=1)
+        [f32_as_i32(boxes), refs, jnp.zeros((ni, 4), jnp.int32)], axis=1)
     return packed
 
 
@@ -177,8 +178,9 @@ def _traverse4_tile(blas4: BLAS4, o, d, t_min, t_max0, *, any_hit: bool,
 
         # --- internal: fetch row, 4 slab tests, sort near->far ----------
         row = jnp.clip(jnp.where(is_leaf, 0, node), 0, nodes.shape[0] - 1)
-        nf = jnp.take(nodes, row, axis=0)                # (R, 32)
-        refs = [f32_as_i32(nf[:, 24 + k]) for k in range(4)]
+        nfi = jnp.take(nodes, row, axis=0)               # (R, 32) int32
+        nf = i32_as_f32(nfi[:, :24])
+        refs = [nfi[:, 24 + k] for k in range(4)]
         tmins, hits = [], []
         for k in range(4):
             lo, hi = fast_intersect_bbox(o, invd, nf[:, 6 * k:6 * k + 3],
@@ -270,7 +272,7 @@ def _finalize4(blas4: BLAS4, best_prim, t_maxed, u, v, batch) -> HitResult:
 
 
 def closest_hit4(blas4: BLAS4, rays: Ray, *, stack_size: int = 48,
-                 tile_size: int = 16384, max_iters: int = 1 << 24) -> HitResult:
+                 tile_size: int = 16384, max_iters: int = 1 << 17) -> HitResult:
     """Closest hit on a single (non-instanced) BLAS4 (reference
     closest_hit4, src/bvh4.jl:606-700)."""
     batch = rays.batch_shape
@@ -284,7 +286,7 @@ def closest_hit4(blas4: BLAS4, rays: Ray, *, stack_size: int = 48,
 
 
 def any_hit4(blas4: BLAS4, rays: Ray, *, stack_size: int = 48,
-             tile_size: int = 16384, max_iters: int = 1 << 24) -> HitResult:
+             tile_size: int = 16384, max_iters: int = 1 << 17) -> HitResult:
     """First-hit query on a BLAS4; forces t_min = 0 (reference any_hit4,
     src/bvh4.jl:707-766)."""
     batch = rays.batch_shape

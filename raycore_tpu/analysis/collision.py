@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ..accel.types import StaticTLAS, f32_as_i32
+from ..accel.types import StaticTLAS, f32_as_i32, i32_as_f32
 
 _INVALID = jnp.int32(-1)
 
@@ -45,9 +45,10 @@ def _collide_pass(nodes, icap, mask, offsets, max_contacts: int,
     at offsets[lane] + local_count."""
     L = icap
     leaf_rows = jnp.arange(icap - 1, 2 * icap - 1, dtype=jnp.int32)
-    leaf = jnp.take(nodes, leaf_rows, axis=0)
-    a_min, a_max = leaf[:, 0:3], leaf[:, 3:6]
-    inst_a = f32_as_i32(leaf[:, 13])
+    leafi = jnp.take(nodes, leaf_rows, axis=0)          # int32 packed
+    leaff = i32_as_f32(leafi[:, :6])
+    a_min, a_max = leaff[:, 0:3], leaff[:, 3:6]
+    inst_a = leafi[:, 13]
     a_real = jnp.take(mask, jnp.clip(inst_a, 0, icap - 1))
 
     write = max_contacts > 0
@@ -69,9 +70,10 @@ def _collide_pass(nodes, icap, mask, offsets, max_contacts: int,
         node = s["node"]
         active = node != _INVALID
         row = jnp.clip(node, 0, nodes.shape[0] - 1)
-        nf = jnp.take(nodes, row, axis=0)
-        c0 = f32_as_i32(nf[:, 12])
-        c1 = f32_as_i32(nf[:, 13])
+        nfi = jnp.take(nodes, row, axis=0)
+        nf = i32_as_f32(nfi[:, :12])
+        c0 = nfi[:, 12]
+        c1 = nfi[:, 13]
         is_leaf = c0 == _INVALID
 
         def overlaps(bmin, bmax):

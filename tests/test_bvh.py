@@ -130,8 +130,8 @@ def test_blas_build_shapes_and_root(rng):
     np.testing.assert_allclose(np.asarray(blas.root_aabb)[1],
                                v.max((0, 1)), rtol=1e-6)
     # Leaf rows store prim indices 0..cap-1 and INVALID child0.
-    nodes = np.asarray(blas.nodes)
-    c0 = np.asarray(f32_as_i32(jnp.asarray(nodes[:, 12])))
+    nodes = np.asarray(blas.nodes)           # int32-packed
+    c0 = nodes[:, 12]
     leaf_rows = c0 == -1
     assert leaf_rows.sum() == 128
     assert np.all(leaf_rows[127:])

@@ -31,8 +31,9 @@ def test_collapse_structure(rng):
     blas = build_blas(tris)
     b4 = wide.collapse_blas(blas)
     assert b4.nodes4.shape == (63, 32)
-    nodes4 = np.asarray(b4.nodes4)
-    refs = np.asarray(f32_as_i32(jnp.asarray(nodes4[:, 24:28])))
+    nodes4 = np.asarray(b4.nodes4)           # int32-packed
+    refs = nodes4[:, 24:28]
+    boxes = nodes4[:, :24].view(np.float32)
     # Root row 0: all slot AABBs either valid boxes or empty sentinels.
     leaf_bit = 1 << 30
     # Count reachable leaves from root by BFS over rows.
@@ -60,8 +61,8 @@ def test_collapse_structure(rng):
             ref = refs[r, k]
             if ref != -1 and (ref & leaf_bit):
                 p = ref & (leaf_bit - 1)
-                lo = nodes4[r, 6 * k:6 * k + 3]
-                hi = nodes4[r, 6 * k + 3:6 * k + 6]
+                lo = boxes[r, 6 * k:6 * k + 3]
+                hi = boxes[r, 6 * k + 3:6 * k + 6]
                 assert np.all(verts[p].min(0) >= lo - 1e-5)
                 assert np.all(verts[p].max(0) <= hi + 1e-5)
 
