@@ -7,6 +7,10 @@ bench.py / __graft_entry__.py on hardware).
 """
 import os
 
+# Separate compile cache for the CPU test lane (the shared cache also holds
+# TPU/axon entries compiled with different host-feature flags).
+os.environ["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache_cpu_tests"
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
