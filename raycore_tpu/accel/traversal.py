@@ -34,7 +34,8 @@ _SENTINEL = jnp.int32(TOP_LEVEL_SENTINEL)
 
 
 def _traverse_tile(tlas: StaticTLAS, o_w, d_w, t_min, t_max0, *,
-                   any_hit: bool, stack_size: int, max_iters: int):
+                   any_hit: bool, stack_size: int, max_iters: int,
+                   substeps: int = 4):
     """Run the wavefront stack machine for one tile of rays.
 
     Returns (best_inst, best_prim, t, u, v): best_inst/prim are -1 on miss.
@@ -167,7 +168,15 @@ def _traverse_tile(tlas: StaticTLAS, o_w, d_w, t_min, t_max0, *,
                     best_u=best_u, best_v=best_v,
                     iters=s["iters"] + 1)
 
-    out = jax.lax.while_loop(cond, body, init)
+    def multi_body(s):
+        # Unroll several traversal steps per while iteration: the carried
+        # state (stack, rays, bests) is rewritten once per iteration, so
+        # unrolling amortizes that HBM traffic over `substeps` node visits.
+        for _ in range(substeps):
+            s = body(s)
+        return s
+
+    out = jax.lax.while_loop(cond, multi_body, init)
     return (out["best_inst"], out["best_prim"], out["t_max"],
             out["best_u"], out["best_v"])
 
@@ -193,9 +202,10 @@ def _finalize(tlas: StaticTLAS, best_inst, best_prim, t_maxed, u, v,
 
 
 @partial(jax.jit, static_argnames=("any_hit", "stack_size", "max_iters",
-                                   "tile_size"))
+                                   "tile_size", "substeps"))
 def _trace(tlas: StaticTLAS, o, d, t_min, t_max, *, any_hit: bool,
-           stack_size: int, max_iters: int, tile_size: int):
+           stack_size: int, max_iters: int, tile_size: int,
+           substeps: int = 4):
     R = o.shape[0]
     n_tiles = max(1, -(-R // tile_size))
     padded = n_tiles * tile_size
@@ -212,7 +222,8 @@ def _trace(tlas: StaticTLAS, o, d, t_min, t_max, *, any_hit: bool,
     def one(tile):
         to, td, tn, tx = tile
         return _traverse_tile(tlas, to, td, tn, tx, any_hit=any_hit,
-                              stack_size=stack_size, max_iters=max_iters)
+                              stack_size=stack_size, max_iters=max_iters,
+                              substeps=substeps)
 
     outs = jax.lax.map(one, (tiles(o), tiles(d), tiles(t_min), tiles(t_max)))
     flat = tuple(x.reshape((padded,) + x.shape[2:])[:R] for x in outs)
@@ -220,7 +231,8 @@ def _trace(tlas: StaticTLAS, o, d, t_min, t_max, *, any_hit: bool,
 
 
 def closest_hit(tlas: StaticTLAS, rays: Ray, *, stack_size: int = 64,
-                tile_size: int = 16384, max_iters: int = 1 << 17) -> HitResult:
+                tile_size: int = 16384, max_iters: int = 1 << 17,
+                substeps: int = 4) -> HitResult:
     """Closest-hit query over a batched Ray (reference closest_hit,
     src/instanced-bvh.jl:1902-2023). Returns a HitResult pytree with the
     ray batch shape; zero-triangle sentinel and -1 indices on miss."""
@@ -229,13 +241,15 @@ def closest_hit(tlas: StaticTLAS, rays: Ray, *, stack_size: int = 64,
     o = flat(rays.o, 3)
     d = jnp.where(rays.d == 0.0, 0.0, rays.d).reshape(o.shape)  # check_direction
     out = _trace(tlas, o, d, flat(rays.t_min, 0), flat(rays.t_max, 0),
-                 any_hit=False, stack_size=stack_size,
-                 max_iters=max_iters, tile_size=min(tile_size, max(o.shape[0], 8)))
+                 any_hit=False, stack_size=stack_size, max_iters=max_iters,
+                 tile_size=min(tile_size, max(o.shape[0], 8)),
+                 substeps=substeps)
     return _finalize(tlas, *out, batch_shape=batch)
 
 
 def any_hit(tlas: StaticTLAS, rays: Ray, *, stack_size: int = 64,
-            tile_size: int = 16384, max_iters: int = 1 << 17) -> HitResult:
+            tile_size: int = 16384, max_iters: int = 1 << 17,
+            substeps: int = 4) -> HitResult:
     """First-hit occlusion query; forces t_min = 0 like the reference
     (src/instanced-bvh.jl:2045) and terminates each lane on its first hit.
     The reported hit is traversal-order-first, not closest — only the
@@ -246,8 +260,9 @@ def any_hit(tlas: StaticTLAS, rays: Ray, *, stack_size: int = 64,
     d = jnp.where(rays.d == 0.0, 0.0, rays.d).reshape(o.shape)
     t_min = jnp.zeros(o.shape[:1], jnp.float32)
     out = _trace(tlas, o, d, t_min, flat(rays.t_max),
-                 any_hit=True, stack_size=stack_size,
-                 max_iters=max_iters, tile_size=min(tile_size, max(o.shape[0], 8)))
+                 any_hit=True, stack_size=stack_size, max_iters=max_iters,
+                 tile_size=min(tile_size, max(o.shape[0], 8)),
+                 substeps=substeps)
     best_inst, best_prim, t_maxed, u, v = out
     # For any_hit the hit t is the recorded leaf t (t_max was shrunk to it).
     return _finalize(tlas, best_inst, best_prim, t_maxed, u, v, batch)
