@@ -26,11 +26,15 @@ def main():
     import raycore_tpu as rc
     from raycore_tpu.scene.tlas import TLAS
     from raycore_tpu.accel import traversal as trav
+    from raycore_tpu.accel.dense import build_dense, closest_hit_dense
 
     n_tris_target = int(os.environ.get("RAYCORE_BENCH_TRIS", 1_000_000))
     n_rays = int(os.environ.get("RAYCORE_BENCH_RAYS", 1_048_576))
-    tile = int(os.environ.get("RAYCORE_BENCH_TILE", 65536))
+    tile = int(os.environ.get("RAYCORE_BENCH_TILE", 4096))
     reps = int(os.environ.get("RAYCORE_BENCH_REPS", 5))
+    engine = os.environ.get("RAYCORE_BENCH_ENGINE", "dense")
+    cluster = int(os.environ.get("RAYCORE_BENCH_CLUSTER", 256))
+    select = int(os.environ.get("RAYCORE_BENCH_SELECT", 4))
 
     # Procedural 1M-tri heightfield (spatially coherent, like a scanned model).
     grid_n = int(np.sqrt(n_tris_target / 2))
@@ -38,11 +42,15 @@ def main():
     mesh = rc.displaced_grid_mesh(n=grid_n, extent=2.0, amplitude=0.35)
     n_tris = mesh.vertices.shape[0]
 
-    scene_mgr = TLAS()
-    scene_mgr.push(mesh, None)
     build_t0 = time.time()
-    scene = scene_mgr.sync()
-    jax.block_until_ready(scene.unified_nodes)
+    if engine == "dense":
+        scene = build_dense(mesh, cluster_size=cluster)
+        jax.block_until_ready(scene.tri_feats)
+    else:
+        scene_mgr = TLAS()
+        scene_mgr.push(mesh, None)
+        scene = scene_mgr.sync()
+        jax.block_until_ready(scene.unified_nodes)
     build_ms = (time.time() - build_t0) * 1e3
 
     # Primary ray grid looking down at the heightfield (the BASELINE.md
@@ -55,7 +63,11 @@ def main():
     d = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0], jnp.float32), o.shape)
     rays = rc.Ray.create(o=o, d=d)
 
-    run = lambda: trav.closest_hit(scene, rays, tile_size=tile)
+    if engine == "dense":
+        run = lambda: closest_hit_dense(scene, rays, tile=tile,
+                                        select_per_round=select)
+    else:
+        run = lambda: trav.closest_hit(scene, rays, tile_size=tile)
     # Warmup / compile.
     res = run()
     jax.block_until_ready(res.t)
@@ -86,7 +98,7 @@ def main():
             "best_s": round(best, 5),
             "times_s": [round(t, 5) for t in times],
             "backend": jax.default_backend(),
-            "tile": tile,
+            "tile": tile, "engine": engine,
         }
     }), file=sys.stderr)
 

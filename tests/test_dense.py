@@ -1,0 +1,112 @@
+"""Dense clustered (MXU-featurized) engine tests — exact parity with the
+brute-force oracle."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import raycore_tpu as rc
+from raycore_tpu.accel.dense import (build_dense, closest_hit_dense,
+                                     any_hit_dense, ray_features,
+                                     _featurize_tris)
+from raycore_tpu.core.triangle import fast_intersect_triangle
+
+
+def test_featurization_matches_mt(rng):
+    v0 = jnp.asarray(rng.normal(size=(32, 3)), jnp.float32)
+    v1 = jnp.asarray(rng.normal(size=(32, 3)), jnp.float32)
+    v2 = jnp.asarray(rng.normal(size=(32, 3)), jnp.float32)
+    o = jnp.asarray(rng.normal(size=(8, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(8, 3)), jnp.float32)
+    psi = _featurize_tris(v0, v1, v2)
+    phi = ray_features(o, d)
+    q = jnp.einsum("rf,tfq->rtq", phi, psi)          # (8, 32, 4)
+    det, udet, vdet, tdet = (np.asarray(q[..., k]) for k in range(4))
+    # Direct MT quantities.
+    e1, e2 = v1 - v0, v2 - v0
+    s1 = jnp.cross(d[:, None], e2[None])
+    det_ref = jnp.sum(s1 * e1[None], -1)
+    P = o[:, None] - v0[None]
+    u_ref = jnp.sum(P * s1, -1)
+    s2 = jnp.cross(P, jnp.broadcast_to(e1[None], P.shape))
+    v_ref = jnp.sum(d[:, None] * s2, -1)
+    t_ref = jnp.sum(e2[None] * s2, -1)
+    np.testing.assert_allclose(det, det_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(udet, u_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(vdet, v_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(tdet, t_ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def heightfield():
+    tris = rc.displaced_grid_mesh(n=32, extent=2.0, amplitude=0.3)
+    return build_dense(tris, cluster_size=64)
+
+
+def test_dense_matches_brute_coherent(heightfield):
+    ds = heightfield
+    xs = jnp.linspace(-0.9, 0.9, 40)
+    X, Y = jnp.meshgrid(xs, xs, indexing="ij")
+    o = jnp.stack([X, Y, jnp.full_like(X, 2.0)], -1).reshape(-1, 3)
+    rays = rc.Ray.create(o=o, d=jnp.broadcast_to(jnp.array([0.0, 0, -1.0]),
+                                                 o.shape))
+    r = closest_hit_dense(ds, rays, tile=256)
+    rb = rc.closest_hit_brute(ds.prims, rays)
+    np.testing.assert_array_equal(np.asarray(r.hit), np.asarray(rb.hit))
+    m = np.asarray(r.hit)
+    assert m.all()
+    np.testing.assert_allclose(np.asarray(r.t)[m], np.asarray(rb.t)[m],
+                               rtol=1e-4, atol=1e-4)
+    assert (np.asarray(r.prim_idx)[m] == np.asarray(rb.prim_idx)[m]).mean() \
+        > 0.99
+
+
+def test_dense_matches_brute_incoherent(heightfield, rng):
+    ds = heightfield
+    n = 400
+    o = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    tgt = np.asarray(ds.prims.vertices[rng.integers(0, ds.n_prims, n)]).mean(1)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = rc.Ray.create(o=jnp.asarray(o), d=jnp.asarray(d))
+    r = closest_hit_dense(ds, rays, tile=128, select_per_round=2)
+    rb = rc.closest_hit_brute(ds.prims, rays)
+    np.testing.assert_array_equal(np.asarray(r.hit), np.asarray(rb.hit))
+    m = np.asarray(r.hit)
+    np.testing.assert_allclose(np.asarray(r.t)[m], np.asarray(rb.t)[m],
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_dense_t_range_semantics(heightfield):
+    ds = heightfield
+    r1 = closest_hit_dense(ds, rc.Ray.create(o=[0.0, 0, 2.0], d=[0.0, 0, -1.0],
+                                             t_max=1.0), tile=8)
+    assert not bool(r1.hit)
+    r2 = closest_hit_dense(ds, rc.Ray.create(o=[0.0, 0, 2.0], d=[0.0, 0, -1.0],
+                                             t_min=5.0), tile=8)
+    assert not bool(r2.hit)
+    r3 = closest_hit_dense(ds, rc.Ray.create(o=[0.0, 0, 2.0], d=[0.0, 0, -1.0]),
+                           tile=8)
+    assert bool(r3.hit)
+    # Miss -> zero sentinel contract.
+    r4 = closest_hit_dense(ds, rc.Ray.create(o=[9.0, 9, 2.0], d=[0.0, 0, -1.0]),
+                           tile=8)
+    assert not bool(r4.hit)
+    assert np.all(np.asarray(r4.triangle.vertices) == 0)
+
+
+def test_any_hit_dense(heightfield):
+    ds = heightfield
+    # t_min forced to zero like the reference any_hit.
+    r = any_hit_dense(ds, rc.Ray.create(o=[0.0, 0, 2.0], d=[0.0, 0, -1.0],
+                                        t_min=5.0), tile=8)
+    assert bool(r.hit)
+
+
+def test_dense_nonpow2_counts(rng):
+    tris = rc.sphere_mesh(radius=1.0, n_theta=11, n_phi=23)  # odd count
+    ds = build_dense(tris, cluster_size=32)
+    r = closest_hit_dense(ds, rc.Ray.create(o=[0.05, 0.02, -4.0],
+                                            d=[0.0, 0, 1.0]), tile=8)
+    assert bool(r.hit)
+    assert float(r.t) == pytest.approx(3.0, abs=0.05)
