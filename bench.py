@@ -59,7 +59,15 @@ def main():
     n_rays = side * side
     xs = jnp.linspace(-0.95, 0.95, side, dtype=jnp.float32)
     X, Y = jnp.meshgrid(xs, xs, indexing="ij")
-    o = jnp.stack([X, Y, jnp.full_like(X, 3.0)], -1).reshape(-1, 3)
+    o = jnp.stack([X, Y, jnp.full_like(X, 3.0)], -1)
+    # Blocked (square-tile) ray order: a dense-engine tile must be a
+    # spatially compact pixel block, not a scanline strip.
+    B = 64
+    if side % B == 0:
+        o = o.reshape(side // B, B, side // B, B, 3) \
+             .transpose(0, 2, 1, 3, 4).reshape(-1, 3)
+    else:
+        o = o.reshape(-1, 3)
     d = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0], jnp.float32), o.shape)
     rays = rc.Ray.create(o=o, d=d)
 

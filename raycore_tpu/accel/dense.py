@@ -156,9 +156,18 @@ def _phase_a_tile_entry(scene: DenseScene, o, d, invd, t_min, t_max,
     return jax.lax.map(one_tile, (shp(o), shp(invd), shp(t_min), shp(t_max)))
 
 
+EDGE_EPS = 1e-5  # barycentric acceptance slack (see module docstring)
+
+
 def _epilogue(q, t_min, cur_best, C):
-    """From quantity block (R_t, 4C) -> (t_or_inf, u, v) per pair,
-    exact fast_intersect_triangle semantics."""
+    """From quantity block (R_t, 4C) -> (t_or_inf, u, v) per pair.
+
+    fast_intersect_triangle semantics with one deliberate difference: the
+    u/v range tests carry a small EDGE_EPS slack. The featurized matmul
+    evaluates the same bilinear forms in a different association order, so
+    exact-zero edge tests would crack shared edges that the scalar MT path
+    hits; the slack turns cracks into harmless double-hits (closest wins).
+    """
     det = q[:, 0 * C:1 * C]
     udet = q[:, 1 * C:2 * C]
     vdet = q[:, 2 * C:3 * C]
@@ -167,7 +176,8 @@ def _epilogue(q, t_min, cur_best, C):
     u = udet * r
     v = vdet * r
     t = tdet * r
-    ok = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0) \
+    e = EDGE_EPS
+    ok = (u >= -e) & (u <= 1.0 + e) & (v >= -e) & (u + v <= 1.0 + e) \
         & (t >= t_min[:, None]) & (t <= cur_best[:, None])
     return jnp.where(ok, t, jnp.inf), u, v
 
@@ -224,7 +234,8 @@ def _closest_hit_dense_flat(scene: DenseScene, o, d, t_min, t_max, *,
         for cid in sel:
             blocks = jnp.take(scene.tri_feats, cid, axis=0)  # (n_tiles,16,4C)
             q = jnp.einsum("brf,bfq->brq", phi, blocks,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
             t_pair, u, v = _epilogue(q.reshape(-1, 4 * C),
                                      t_min_t.reshape(-1),
                                      best_t.reshape(-1), C)
@@ -286,6 +297,26 @@ def closest_hit_dense(scene: DenseScene, rays: Ray, *, tile: int = 2048,
                     instance_idx=jnp.where(hit, 0, -1))
     return jax.tree_util.tree_map(
         lambda a: a.reshape(batch + a.shape[1:]), res)
+
+
+def morton_sort_rays(rays: Ray, bounds_min, bounds_max):
+    """Sort a flat ray batch by the Morton code of (origin octant +
+    direction octant) so dense-engine tiles become spatially compact.
+    Returns (sorted_rays, inverse_permutation); recover original order with
+    ``jax.tree_util.tree_map(lambda a: a[inv], result)``."""
+    from . import morton as _morton
+    o = rays.o
+    ext = jnp.maximum(jnp.asarray(bounds_max) - jnp.asarray(bounds_min), 1e-12)
+    p = (o - jnp.asarray(bounds_min)) / ext
+    code = _morton.morton_code_30bit(p)
+    oct_d = ((rays.d[:, 0] > 0).astype(jnp.uint32)
+             | ((rays.d[:, 1] > 0).astype(jnp.uint32) << 1)
+             | ((rays.d[:, 2] > 0).astype(jnp.uint32) << 2))
+    key = (code >> 3) | (oct_d << 29)
+    order = jnp.argsort(key)
+    inv = jnp.argsort(order)
+    take = lambda a: jnp.take(a, order, axis=0)
+    return jax.tree_util.tree_map(take, rays), inv
 
 
 def any_hit_dense(scene: DenseScene, rays: Ray, **kw) -> HitResult:
