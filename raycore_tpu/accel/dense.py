@@ -253,28 +253,32 @@ def _closest_hit_dense_flat(scene: DenseScene, o, d, t_min, t_max, *,
             sel.append(cid)
             e = e.at[jnp.arange(n_tiles), cid].set(jnp.inf)
         entry = e
+        cids = jnp.stack(sel, axis=1)                      # (n_tiles, S)
 
-        for cid in sel:
-            blocks = jnp.take(scene.tri_feats, cid, axis=0)  # (n_tiles,16,4C)
-            q = jnp.einsum("brf,bfq->brq", phi, blocks,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-            t_pair, u, v = _epilogue(q.reshape(-1, 4 * C),
-                                     t_min_t.reshape(-1),
-                                     best_t.reshape(-1), C)
-            t_pair = t_pair.reshape(n_tiles, tile, C)
-            u = u.reshape(n_tiles, tile, C)
-            v = v.reshape(n_tiles, tile, C)
-            tmin_c = jnp.min(t_pair, axis=2)               # (n_tiles, tile)
-            arg = jnp.argmin(t_pair, axis=2)
-            better = tmin_c < best_t
-            pair_id = cid[:, None] * C + arg
-            best_pair = jnp.where(better, pair_id, best_pair)
-            take2 = lambda a: jnp.take_along_axis(
-                a, arg[..., None], axis=2)[..., 0]
-            best_u = jnp.where(better, take2(u), best_u)
-            best_v = jnp.where(better, take2(v), best_v)
-            best_t = jnp.where(better, tmin_c, best_t)
+        # One fused gather + matmul + epilogue for all S clusters.
+        blocks = jnp.take(scene.tri_feats, cids.reshape(-1), axis=0) \
+            .reshape(n_tiles, S, FEAT, 4 * C) \
+            .transpose(0, 2, 1, 3).reshape(n_tiles, FEAT, S * 4 * C)
+        q = jnp.einsum("brf,bfq->brq", phi, blocks,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        qs = q.reshape(n_tiles, tile, S, 4 * C)
+        t_pair, u, v = _epilogue(qs.reshape(-1, 4 * C),
+                                 jnp.repeat(t_min_t.reshape(-1), S),
+                                 jnp.repeat(best_t.reshape(-1), S), C)
+        t_pair = t_pair.reshape(n_tiles, tile, S * C)
+        u = u.reshape(n_tiles, tile, S * C)
+        v = v.reshape(n_tiles, tile, S * C)
+        tmin_c = jnp.min(t_pair, axis=2)                   # (n_tiles, tile)
+        arg = jnp.argmin(t_pair, axis=2)
+        better = tmin_c < best_t
+        s_of = arg // C
+        pair_id = jnp.take_along_axis(cids, s_of, axis=1) * C + arg % C
+        best_pair = jnp.where(better, pair_id, best_pair)
+        take2 = lambda a: jnp.take_along_axis(a, arg[..., None], axis=2)[..., 0]
+        best_u = jnp.where(better, take2(u), best_u)
+        best_v = jnp.where(better, take2(v), best_v)
+        best_t = jnp.where(better, tmin_c, best_t)
 
         return dict(entry=entry, best_t=best_t, best_pair=best_pair,
                     best_u=best_u, best_v=best_v, rounds=s["rounds"] + 1)
