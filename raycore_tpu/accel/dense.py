@@ -255,30 +255,51 @@ def _closest_hit_dense_flat(scene: DenseScene, o, d, t_min, t_max, *,
         entry = e
         cids = jnp.stack(sel, axis=1)                      # (n_tiles, S)
 
-        # One fused gather + matmul + epilogue for all S clusters.
-        blocks = jnp.take(scene.tri_feats, cids.reshape(-1), axis=0) \
-            .reshape(n_tiles, S, FEAT, 4 * C) \
-            .transpose(0, 2, 1, 3).reshape(n_tiles, FEAT, S * 4 * C)
-        q = jnp.einsum("brf,bfq->brq", phi, blocks,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
-        qs = q.reshape(n_tiles, tile, S, 4 * C)
-        t_pair, u, v = _epilogue(qs.reshape(-1, 4 * C),
-                                 jnp.repeat(t_min_t.reshape(-1), S),
-                                 jnp.repeat(best_t.reshape(-1), S), C)
-        t_pair = t_pair.reshape(n_tiles, tile, S * C)
-        u = u.reshape(n_tiles, tile, S * C)
-        v = v.reshape(n_tiles, tile, S * C)
-        tmin_c = jnp.min(t_pair, axis=2)                   # (n_tiles, tile)
-        arg = jnp.argmin(t_pair, axis=2)
-        better = tmin_c < best_t
-        s_of = arg // C
-        pair_id = jnp.take_along_axis(cids, s_of, axis=1) * C + arg % C
-        best_pair = jnp.where(better, pair_id, best_pair)
-        take2 = lambda a: jnp.take_along_axis(a, arg[..., None], axis=2)[..., 0]
-        best_u = jnp.where(better, take2(u), best_u)
-        best_v = jnp.where(better, take2(v), best_v)
-        best_t = jnp.where(better, tmin_c, best_t)
+        # Fused gather + matmul + epilogue for all S clusters, processed
+        # in tile groups to bound the (rays x S*4C) matmul intermediate.
+        TG = max(1, min(n_tiles, (1 << 25) // (tile * S * 4 * C) + 1))
+        n_groups = -(-n_tiles // TG)
+        TGp = n_groups * TG
+
+        def pad_g(a):
+            if TGp == n_tiles:
+                return a
+            padn = TGp - n_tiles
+            return jnp.concatenate(
+                [a, jnp.zeros((padn,) + a.shape[1:], a.dtype)])
+
+        def group_fn(args):
+            phi_g, cids_g, bt, bp, bu, bv, tmin_g = args
+            blocks = jnp.take(scene.tri_feats, cids_g.reshape(-1), axis=0) \
+                .reshape(TG, S, FEAT, 4 * C) \
+                .transpose(0, 2, 1, 3).reshape(TG, FEAT, S * 4 * C)
+            q = jnp.einsum("brf,bfq->brq", phi_g, blocks,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            t_pair, u, v = _epilogue(q.reshape(-1, 4 * C),
+                                     jnp.repeat(tmin_g.reshape(-1), S),
+                                     jnp.repeat(bt.reshape(-1), S), C)
+            t_pair = t_pair.reshape(TG, tile, S * C)
+            u = u.reshape(TG, tile, S * C)
+            v = v.reshape(TG, tile, S * C)
+            tmin_c = jnp.min(t_pair, axis=2)
+            arg = jnp.argmin(t_pair, axis=2)
+            better = tmin_c < bt
+            s_of = arg // C
+            pair_id = jnp.take_along_axis(cids_g, s_of, axis=1) * C + arg % C
+            take2 = lambda a: jnp.take_along_axis(
+                a, arg[..., None], axis=2)[..., 0]
+            return (jnp.where(better, tmin_c, bt),
+                    jnp.where(better, pair_id, bp),
+                    jnp.where(better, take2(u), bu),
+                    jnp.where(better, take2(v), bv))
+
+        grp = lambda a: pad_g(a).reshape((n_groups, TG) + a.shape[1:])
+        outs = jax.lax.map(group_fn, (grp(phi), grp(cids), grp(best_t),
+                                      grp(best_pair), grp(best_u),
+                                      grp(best_v), grp(t_min_t)))
+        ung = lambda a: a.reshape((TGp,) + a.shape[2:])[:n_tiles]
+        best_t, best_pair, best_u, best_v = (ung(x) for x in outs)
 
         return dict(entry=entry, best_t=best_t, best_pair=best_pair,
                     best_u=best_u, best_v=best_v, rounds=s["rounds"] + 1)
