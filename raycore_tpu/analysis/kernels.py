@@ -13,7 +13,7 @@ from flax import struct
 
 from ..core.ray import Ray
 from ..core.sampling import get_orthogonal_basis, sum_mul
-from ..accel import traversal as _trav
+from ..accel import dispatch as _disp
 from ..accel.types import StaticTLAS
 
 
@@ -74,7 +74,7 @@ def hits_from_grid(scene: StaticTLAS, viewdir, *, grid_size: int = 32,
     origins = generate_ray_grid(scene, direction, grid_size)
     rays = Ray.create(o=origins,
                       d=jnp.broadcast_to(direction, origins.shape))
-    res = _trav.closest_hit(scene, rays, tile_size=tile_size)
+    res = _disp.scene_closest_hit(scene, rays, tile_size=tile_size)
     point = sum_mul(res.barycentric, res.triangle.vertices)
     return RayHits(hit=res.hit, point=point, metadata=res.triangle.metadata)
 
@@ -149,7 +149,7 @@ def view_factors(scene: StaticTLAS, triangles, key, *,
              + n[:, None] * ct[..., None])
 
         rays = Ray.create(o=o.reshape(-1, 3), d=d.reshape(-1, 3))
-        res = _trav.closest_hit(scene, rays, tile_size=tile_size)
+        res = _disp.scene_closest_hit(scene, rays, tile_size=tile_size)
         hit_meta = jnp.clip(res.triangle.metadata.astype(jnp.int32), 0,
                             n_bins - 1).reshape(T, ray_batch)
         hit = res.hit.reshape(T, ray_batch)

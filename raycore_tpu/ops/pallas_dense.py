@@ -1,0 +1,220 @@
+"""Pallas worklist kernel for the dense clustered engine.
+
+The XLA dense engine (accel/dense.py) pays for S clusters per tile per
+round even when a tile needs one. This kernel removes that waste with a
+compacted worklist: qualifying (ray-tile, cluster) pairs are enumerated
+once, sorted by tile, and the Pallas grid walks them with
+PrefetchScalarGridSpec — each grid step DMAs exactly the phi tile and the
+cluster feature block it needs (index_map reads the prefetched id arrays),
+computes the (TILE, 16) @ (16, 4C) fp32 matmul on the MXU, runs the
+Möller–Trumbore epilogue on the VPU, and min-merges into per-ray best
+buffers. Consecutive blocks of the same tile keep the output block
+resident in VMEM (Pallas revisiting), so the merge is register-speed.
+
+Pair payload packing: best_t is f32; (pair_idx, u, v) are merged via a
+second pass that recomputes the winning cluster — instead the kernel
+writes argmin data directly under a `better` mask.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.triangle import safe_invdir
+
+FEAT = 16
+
+
+def _kernel(tids_ref, cids_ref, phi_ref, feats_ref, tmin_ref, best0_ref,
+            t_out, pair_out, u_out, v_out, *, C: int, edge_eps: float):
+    b = pl.program_id(0)
+    tid = tids_ref[b]
+    prev_tid = tids_ref[jnp.maximum(b - 1, 0)]
+    first = (b == 0) | (tid != prev_tid)
+    cid = cids_ref[b]
+
+    phi = phi_ref[:]                     # (TILE, 16)
+    feats = feats_ref[0]                 # (16, 4C)
+    q = jax.lax.dot_general(
+        phi, feats, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)          # (TILE, 4C)
+
+    det = q[:, 0 * C:1 * C]
+    udet = q[:, 1 * C:2 * C]
+    vdet = q[:, 2 * C:3 * C]
+    tdet = q[:, 3 * C:4 * C]
+    r = 1.0 / det
+    u = udet * r
+    v = vdet * r
+    t = tdet * r
+
+    cur_t = jnp.where(first, best0_ref[:], t_out[:])         # (TILE, 1)
+    cur_pair = jnp.where(first, -1, pair_out[:])
+    cur_u = jnp.where(first, 0.0, u_out[:])
+    cur_v = jnp.where(first, 0.0, v_out[:])
+
+    e = edge_eps
+    ok = (u >= -e) & (u <= 1.0 + e) & (v >= -e) & (u + v <= 1.0 + e) \
+        & (t >= tmin_ref[:]) & (t <= cur_t)
+    t_ok = jnp.where(ok, t, jnp.inf)
+    t_min_c = jnp.min(t_ok, axis=1, keepdims=True)           # (TILE, 1)
+    ids = jax.lax.broadcasted_iota(jnp.int32, t_ok.shape, 1)
+    big = jnp.int32(1 << 30)
+    is_min = (t_ok == t_min_c) & (t_min_c < jnp.inf)
+    arg = jnp.min(jnp.where(is_min, ids, big), axis=1, keepdims=True)
+    winner = is_min & (ids == arg)                            # unique lowest
+    sel = lambda a: jnp.max(jnp.where(winner, a, -jnp.inf), axis=1,
+                            keepdims=True)
+    better = t_min_c < cur_t
+
+    t_out[:] = jnp.where(better, t_min_c, cur_t)
+    pair_out[:] = jnp.where(better, cid * C + arg, cur_pair)
+    u_out[:] = jnp.where(better, sel(u), cur_u)
+    v_out[:] = jnp.where(better, sel(v), cur_v)
+
+
+@partial(jax.jit, static_argnames=("TILE", "C", "n_blocks", "interpret"))
+def _run_worklist(tids, cids, phi, feats, tmin, best0, *, TILE: int, C: int,
+                  n_blocks: int, interpret: bool):
+    """tids/cids: (n_blocks,) int32 sorted by tid (padding blocks point at
+    the trailing dummy tile). phi: (n_tiles_p*TILE, 16). feats: (K, 16, 4C).
+    tmin/best0: (n_tiles_p*TILE, 1). Returns (t, pair, u, v) flat rows."""
+    R = phi.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((TILE, FEAT), lambda b, t, c: (t[b], 0)),
+            pl.BlockSpec((1, FEAT, 4 * C), lambda b, t, c: (c[b], 0, 0)),
+            pl.BlockSpec((TILE, 1), lambda b, t, c: (t[b], 0)),
+            pl.BlockSpec((TILE, 1), lambda b, t, c: (t[b], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE, 1), lambda b, t, c: (t[b], 0)),
+            pl.BlockSpec((TILE, 1), lambda b, t, c: (t[b], 0)),
+            pl.BlockSpec((TILE, 1), lambda b, t, c: (t[b], 0)),
+            pl.BlockSpec((TILE, 1), lambda b, t, c: (t[b], 0)),
+        ],
+    )
+    kernel = partial(_kernel, C=C, edge_eps=1e-5)
+    out_shapes = [
+        jax.ShapeDtypeStruct((R, 1), jnp.float32),
+        jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        jax.ShapeDtypeStruct((R, 1), jnp.float32),
+        jax.ShapeDtypeStruct((R, 1), jnp.float32),
+    ]
+    t, pair, u, v = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shapes,
+        interpret=interpret,
+    )(tids, cids, phi, feats, tmin, best0)
+    return t[:, 0], pair[:, 0], u[:, 0], v[:, 0]
+
+
+def build_worklist(entry, max_pairs: int):
+    """From the (n_tiles, K) conservative entry matrix, emit (tids, cids)
+    for every finite-entry pair, sorted by tile (finite pairs first).
+    Invalid/overflow rows get ``tid = n_tiles`` (a dummy tile the caller
+    pads phi/outputs with) so their writes are harmless. Returns
+    (tids, cids, total) — the caller must check total <= max_pairs."""
+    n_tiles, K = entry.shape
+    finite = jnp.isfinite(entry)
+    flat = finite.reshape(-1)
+    # Stable sort: finite pairs first, tile-major order preserved.
+    order = jnp.argsort(~flat, stable=True)
+    total = jnp.sum(flat.astype(jnp.int32))
+    sel = order[:max_pairs]
+    valid = jnp.arange(max_pairs) < total
+    tids = jnp.where(valid, (sel // K).astype(jnp.int32), n_tiles)
+    cids = jnp.where(valid, (sel % K).astype(jnp.int32), 0)
+    return tids, cids, total
+
+
+@partial(jax.jit, static_argnames=("TILE", "max_pairs", "interpret"))
+def _pallas_query(scene_feats, cluster_min, cluster_max, o, d, t_min, t_max,
+                  *, TILE: int, max_pairs: int, interpret: bool):
+    """Jitted core: interval phase A -> worklist -> Pallas sweep.
+    Ray arrays are already padded to a TILE multiple."""
+    from ..accel.dense import DenseScene, _phase_a_tile_entry, ray_features
+    C = scene_feats.shape[2] // 4
+    R = o.shape[0]
+    n_tiles = R // TILE
+    invd = safe_invdir(d)
+    scene_view = DenseScene(
+        tri_feats=scene_feats, cluster_min=cluster_min,
+        cluster_max=cluster_max, prims=None, root_aabb=None,
+        n_prims=0, cluster_size=C)
+    entry = _phase_a_tile_entry(scene_view, o, d, invd, t_min, t_max,
+                                n_tiles, TILE)
+    tids, cids, total = build_worklist(entry, max_pairs)
+
+    phi = ray_features(o, d)
+    # Dummy tile row block absorbs invalid worklist entries.
+    pad_rows = TILE
+    phi_p = jnp.concatenate([phi, jnp.zeros((pad_rows, FEAT), jnp.float32)])
+    tmin_p = jnp.concatenate([t_min, jnp.zeros((pad_rows,))])[:, None]
+    best0_p = jnp.concatenate([t_max, jnp.full((pad_rows,), -jnp.inf)])[:, None]
+
+    t, pair, u, v = _run_worklist(tids, cids, phi_p, scene_feats, tmin_p,
+                                  best0_p, TILE=TILE, C=C,
+                                  n_blocks=max_pairs, interpret=interpret)
+    # Rows whose tile never appears in the worklist keep undefined
+    # outputs; mask them via the entry matrix.
+    tile_touched = jnp.any(jnp.isfinite(entry), axis=1)      # (n_tiles,)
+    touched = jnp.repeat(tile_touched, TILE)
+    touched = jnp.concatenate([touched, jnp.zeros((pad_rows,), bool)])
+    t = jnp.where(touched, t, jnp.inf)
+    pair = jnp.where(touched, pair, -1)
+    hit = (pair >= 0) & jnp.isfinite(t)
+    return (t[:R], pair[:R], u[:R], v[:R], hit[:R], total)
+
+
+def closest_hit_dense_pallas(scene, rays, *, tile: int = 256,
+                             max_pairs_per_tile: int = 48,
+                             interpret=None):
+    """Closest hit via the Pallas worklist kernel. Exact, single pass over
+    all conservative candidates (no inter-cluster best-t pruning yet).
+    Raises on worklist overflow — raise max_pairs_per_tile then."""
+    from ..accel.brute import HitResult, gather_triangles, _mask_triangle
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch = rays.batch_shape
+    flat = lambda a: a.reshape((-1,) + a.shape[len(batch):])
+    o = flat(rays.o)
+    d = jnp.where(rays.d == 0.0, 0.0, rays.d).reshape(o.shape)
+    t_min = flat(rays.t_min)
+    t_max = flat(rays.t_max)
+    R = o.shape[0]
+    TILE = min(tile, max(R, 8))
+    pad = (-R) % TILE
+    if pad:
+        ext = lambda a, f: jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], f, a.dtype)])
+        o, d = ext(o, 0.0), ext(d, 1.0)
+        t_min, t_max = ext(t_min, 0.0), ext(t_max, -jnp.inf)
+    n_tiles = o.shape[0] // TILE
+    max_pairs = min(max_pairs_per_tile * n_tiles,
+                    n_tiles * scene.n_clusters)
+
+    t, pair, u, v, hit, total = _pallas_query(
+        scene.tri_feats, scene.cluster_min, scene.cluster_max,
+        o, d, t_min, t_max, TILE=TILE, max_pairs=max_pairs,
+        interpret=interpret)
+    if int(total) > max_pairs:
+        raise RuntimeError(
+            f"worklist overflow: {int(total)} pairs > capacity {max_pairs}; "
+            f"raise max_pairs_per_tile")
+
+    t, pair, u, v, hit = (x[:R] for x in (t, pair, u, v, hit))
+    tri = _mask_triangle(gather_triangles(scene.prims,
+                                          jnp.clip(pair, 0, None)), hit)
+    bary = jnp.where(hit[:, None], jnp.stack([1 - u - v, u, v], -1), 0.0)
+    res = HitResult(hit=hit, triangle=tri, t=jnp.where(hit, t, 0.0),
+                    barycentric=bary, prim_idx=jnp.where(hit, pair, -1),
+                    instance_idx=jnp.where(hit, 0, -1))
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape(batch + a.shape[1:]), res)

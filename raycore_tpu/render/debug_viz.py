@@ -18,7 +18,7 @@ from flax import struct as fstruct
 
 from ..core.ray import Ray
 from ..core.sampling import sum_mul
-from ..accel import traversal as _trav
+from ..accel import dispatch as _disp
 
 
 @fstruct.dataclass
@@ -37,7 +37,7 @@ class RayIntersectionResult:
 def trace_rays(scene, rays: Ray, **kw) -> RayIntersectionResult:
     """Batch query returning plot-ready data (reference trace_rays stub,
     src/Raycore.jl:116, implemented by the Makie ext)."""
-    res = _trav.closest_hit(scene, rays, **kw)
+    res = _disp.scene_closest_hit(scene, rays, **kw)
     flat = lambda a: a.reshape((-1,) + a.shape[len(rays.batch_shape):])
     pts = sum_mul(res.barycentric, res.triangle.vertices)
     return RayIntersectionResult(

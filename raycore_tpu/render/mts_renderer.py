@@ -21,7 +21,7 @@ from flax import struct
 
 from ..core.ray import Ray
 from ..core.sampling import reflect
-from ..accel import traversal as _trav
+from ..accel import dispatch as _disp
 from ..accel.types import StaticTLAS
 from ..collections.multitypeset import StaticMultiTypeSet, gather_row
 from .wavefront import Camera, PointLights, RenderConfig, camera_basis, \
@@ -101,7 +101,7 @@ def render_step_mts(scene: StaticTLAS, sset: StaticMultiTypeSet,
     bg = jnp.asarray(cfg.background, jnp.float32)
 
     rays = generate_primary_rays(cam, W, H, spp, key)
-    res = _trav.closest_hit(scene, rays, tile_size=cfg.tile_size)
+    res = _disp.scene_closest_hit(scene, rays, tile_size=cfg.tile_size)
     hit = res.hit
     tri = res.triangle
     p = jnp.einsum("rk,rkc->rc", res.barycentric, tri.vertices)
@@ -120,7 +120,7 @@ def render_step_mts(scene: StaticTLAS, sset: StaticMultiTypeSet,
     so = (p + n * cfg.shadow_eps)[:, None, :].repeat(n_lights, 1).reshape(-1, 3)
     st = jnp.where(jnp.repeat(hit, n_lights),
                    (dist - 2 * cfg.shadow_eps).reshape(-1), -1.0)
-    occ = _trav.any_hit(scene, Ray.create(o=so, d=wi.reshape(-1, 3), t_max=st),
+    occ = _disp.scene_any_hit(scene, Ray.create(o=so, d=wi.reshape(-1, 3), t_max=st),
                         tile_size=cfg.tile_size).hit.reshape(R, n_lights)
 
     ndotl = jnp.maximum(jnp.sum(n[:, None] * wi, -1), 0.0)
@@ -137,7 +137,7 @@ def render_step_mts(scene: StaticTLAS, sset: StaticMultiTypeSet,
     rd = rd / jnp.maximum(jnp.linalg.norm(rd, -1, keepdims=True), 1e-12)
     order = compact_order(active)
     inv = jnp.argsort(order)
-    rres = _trav.closest_hit(
+    rres = _disp.scene_closest_hit(
         scene, Ray.create(o=(p + n * cfg.reflect_eps)[order], d=rd[order],
                           t_max=jnp.where(active[order], jnp.inf, -1.0)),
         tile_size=cfg.tile_size)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..core.ray import Ray
 from ..core.sampling import reflect, concentric_sample_disk
-from ..accel import traversal as _trav
+from ..accel import dispatch as _disp
 from .wavefront import Camera, Materials, PointLights, camera_basis
 
 
@@ -56,7 +56,7 @@ def trace(kernel: Callable[..., jnp.ndarray], scene, cam: Camera, *,
         key = jax.random.PRNGKey(0)
     kc, ks = jax.random.split(key)
     rays = _primary(cam, width, height, spp, kc)
-    res = _trav.closest_hit(scene, rays, tile_size=tile_size)
+    res = _disp.scene_closest_hit(scene, rays, tile_size=tile_size)
     p = jnp.einsum("rk,rkc->rc", res.barycentric, res.triangle.vertices)
     n = jnp.einsum("rk,rkc->rc", res.barycentric, res.triangle.normals)
     ln = jnp.linalg.norm(n, axis=-1, keepdims=True)
@@ -99,7 +99,7 @@ def shadow_kernel(scene, sh: Shading, key, *, light_pos=(5, -5, 8),
     dist = jnp.linalg.norm(to_l, axis=-1)
     wi = to_l / jnp.maximum(dist[..., None], 1e-12)
     o = (sh.point + sh.normal * eps)[None].repeat(n_shadow, 0)
-    occ = _trav.any_hit(
+    occ = _disp.scene_any_hit(
         scene, Ray.create(o=o.reshape(-1, 3), d=wi.reshape(-1, 3),
                           t_max=jnp.where(jnp.tile(sh.hit, n_shadow),
                                           (dist - 2 * eps).reshape(-1), -1.0)),
@@ -119,7 +119,7 @@ def multi_light_kernel(scene, sh: Shading, key, *, lights: PointLights,
     dist = jnp.linalg.norm(to_l, axis=-1)
     wi = to_l / jnp.maximum(dist[..., None], 1e-12)
     o = (sh.point + sh.normal * eps)[:, None].repeat(L, 1)
-    occ = _trav.any_hit(
+    occ = _disp.scene_any_hit(
         scene, Ray.create(o=o.reshape(-1, 3), d=wi.reshape(-1, 3),
                           t_max=jnp.where(jnp.repeat(sh.hit, L),
                                           (dist - 2 * eps).reshape(-1), -1.0)),
@@ -147,7 +147,7 @@ def reflective_kernel(scene, sh: Shading, key, *, lights: PointLights,
     rd = reflect(-sh.rays.d, sh.normal)
     rd = rd / jnp.maximum(jnp.linalg.norm(rd, -1, keepdims=True), 1e-12)
     active = sh.hit & (metal > 0)
-    rres = _trav.closest_hit(
+    rres = _disp.scene_closest_hit(
         scene, Ray.create(o=sh.point + sh.normal * eps, d=rd,
                           t_max=jnp.where(active, jnp.inf, -1.0)),
         tile_size=tile_size)

@@ -26,7 +26,7 @@ from flax import struct
 
 from ..core.ray import Ray
 from ..core.sampling import reflect
-from ..accel import traversal as _trav
+from ..accel import dispatch as _disp
 from ..accel.types import StaticTLAS
 
 
@@ -152,7 +152,7 @@ def render_step(scene: StaticTLAS, materials: Materials, lights: PointLights,
 
     # Stage 1-2: primary rays + intersect.
     rays = generate_primary_rays(cam, W, H, spp, key)
-    res = _trav.closest_hit(scene, rays, tile_size=cfg.tile_size)
+    res = _disp.scene_closest_hit(scene, rays, tile_size=cfg.tile_size)
 
     hit = res.hit
     tri = res.triangle
@@ -176,8 +176,8 @@ def render_step(scene: StaticTLAS, materials: Materials, lights: PointLights,
     sd = wi.reshape(-1, 3)
     st = jnp.where(jnp.repeat(hit, n_lights),
                    (dist - 2 * cfg.shadow_eps).reshape(-1), -1.0)
-    occl = _trav.any_hit(scene, Ray.create(o=so, d=sd, t_max=st),
-                         tile_size=cfg.tile_size)
+    occl = _disp.scene_any_hit(scene, Ray.create(o=so, d=sd, t_max=st),
+                              tile_size=cfg.tile_size)
     occluded = occl.hit.reshape(R, n_lights)
 
     # Stage 5: shade primaries.
@@ -196,7 +196,7 @@ def render_step(scene: StaticTLAS, materials: Materials, lights: PointLights,
     ro_c = (hit_p + n * cfg.reflect_eps)[order]
     rd_c = rd[order]
     act_c = refl_active[order]
-    rres = _trav.closest_hit(
+    rres = _disp.scene_closest_hit(
         scene, Ray.create(o=ro_c, d=rd_c,
                           t_max=jnp.where(act_c, jnp.inf, -1.0)),
         tile_size=cfg.tile_size)
