@@ -53,6 +53,7 @@ class DenseScene:
     cluster_min: jnp.ndarray   # (K, 3)
     cluster_max: jnp.ndarray   # (K, 3)
     prims: Triangle            # (K*C, ...) sorted order (cluster-major)
+    prims_packed: jnp.ndarray  # (K*C, 40) f32: v(9) n(9) tg(9) uv(6) meta pad
     root_aabb: jnp.ndarray     # (2, 3)
     n_prims: int = struct.field(pytree_node=False)
     cluster_size: int = struct.field(pytree_node=False)
@@ -60,6 +61,31 @@ class DenseScene:
     @property
     def n_clusters(self) -> int:
         return self.tri_feats.shape[0]
+
+
+def pack_prims(tris: Triangle) -> jnp.ndarray:
+    """One row per triangle so the hit-result fetch is a single gather."""
+    T = tris.vertices.shape[0]
+    from .types import i32_as_f32
+    return jnp.concatenate([
+        tris.vertices.reshape(T, 9), tris.normals.reshape(T, 9),
+        tris.tangents.reshape(T, 9), tris.uv.reshape(T, 6),
+        i32_as_f32(tris.metadata.astype(jnp.int32))[:, None],
+        jnp.zeros((T, 5), jnp.float32)], axis=1)
+
+
+def unpack_prims_rows(rows, hit) -> Triangle:
+    """Inverse of pack_prims for gathered rows, zero-masked on miss."""
+    from .types import f32_as_i32
+    R = rows.shape[0]
+    rows = jnp.where(hit[:, None], rows, 0.0)
+    meta = jnp.where(hit, f32_as_i32(rows[:, 33]), 0).astype(jnp.uint32)
+    return Triangle(
+        vertices=rows[:, 0:9].reshape(R, 3, 3),
+        normals=rows[:, 9:18].reshape(R, 3, 3),
+        tangents=rows[:, 18:27].reshape(R, 3, 3),
+        uv=rows[:, 27:33].reshape(R, 3, 2),
+        metadata=meta)
 
 
 def _featurize_tris(v0, v1, v2):
@@ -110,8 +136,8 @@ def _build_dense(sorted_tris: Triangle, cluster_size: int) -> DenseScene:
     cmax = jnp.max(v.reshape(K, C, 3, 3), axis=(1, 2))
     root = jnp.stack([jnp.min(cmin, 0), jnp.max(cmax, 0)])
     return DenseScene(tri_feats=blocks, cluster_min=cmin, cluster_max=cmax,
-                      prims=sorted_tris, root_aabb=root,
-                      n_prims=T, cluster_size=C)
+                      prims=sorted_tris, prims_packed=pack_prims(sorted_tris),
+                      root_aabb=root, n_prims=T, cluster_size=C)
 
 
 def build_dense(tris: Triangle, cluster_size: int = 256) -> DenseScene:
@@ -310,6 +336,38 @@ def _closest_hit_dense_flat(scene: DenseScene, o, d, t_min, t_max, *,
             flat(out["best_u"]), flat(out["best_v"]))
 
 
+def finalize_hits(scene: DenseScene, pair, t, u, v) -> HitResult:
+    """HitResult from raw best arrays: ONE packed-row gather for the
+    triangle payload (jit this together with the query — eager glue on the
+    tunneled backend costs ~ms per op)."""
+    hit = (pair >= 0) & jnp.isfinite(t)
+    rows = jnp.take(scene.prims_packed, jnp.clip(pair, 0, None), axis=0)
+    tri = unpack_prims_rows(rows, hit)
+    bary = jnp.where(hit[:, None], jnp.stack([1 - u - v, u, v], -1), 0.0)
+    return HitResult(hit=hit, triangle=tri, t=jnp.where(hit, t, 0.0),
+                     barycentric=bary,
+                     prim_idx=jnp.where(hit, pair, -1),
+                     instance_idx=jnp.where(hit, 0, -1))
+
+
+@partial(jax.jit, static_argnames=("tile", "select_per_round", "max_rounds"))
+def _dense_query_full(scene: DenseScene, o, d, t_min, t_max, *, tile: int,
+                      select_per_round: int, max_rounds: int):
+    """End-to-end jitted query: pad -> rounds -> finalize. One dispatch."""
+    R = o.shape[0]
+    d = jnp.where(d == 0.0, 0.0, d)
+    pad = (-R) % tile
+    if pad:
+        ext = lambda a, f: jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], f, a.dtype)])
+        o, d = ext(o, 0.0), ext(d, 1.0)
+        t_min, t_max = ext(t_min, 0.0), ext(t_max, -jnp.inf)
+    pair, t, u, v = _closest_hit_dense_flat(
+        scene, o, d, t_min, t_max, tile=tile,
+        select_per_round=select_per_round, max_rounds=max_rounds)
+    return finalize_hits(scene, pair[:R], t[:R], u[:R], v[:R])
+
+
 def closest_hit_dense(scene: DenseScene, rays: Ray, *, tile: int = 2048,
                       select_per_round: int = 4,
                       max_rounds: int = 1024) -> HitResult:
@@ -319,30 +377,11 @@ def closest_hit_dense(scene: DenseScene, rays: Ray, *, tile: int = 2048,
     batch = rays.batch_shape
     flat = lambda a: a.reshape((-1,) + a.shape[len(batch):])
     o = flat(rays.o)
-    d = jnp.where(rays.d == 0.0, 0.0, rays.d).reshape(o.shape)
-    t_min = flat(rays.t_min)
-    t_max = flat(rays.t_max)
-    R = o.shape[0]
-    tile = min(tile, max(R, 8))
-    pad = (-R) % tile
-    if pad:
-        ext = lambda a, f: jnp.concatenate(
-            [a, jnp.full((pad,) + a.shape[1:], f, a.dtype)])
-        o, d = ext(o, 0.0), ext(d, 1.0)
-        t_min, t_max = ext(t_min, 0.0), ext(t_max, -jnp.inf)
-
-    pair, t, u, v = _closest_hit_dense_flat(
-        scene, o, d, t_min, t_max, tile=tile,
-        select_per_round=select_per_round, max_rounds=max_rounds)
-    pair, t, u, v = pair[:R], t[:R], u[:R], v[:R]
-
-    hit = pair >= 0
-    tri = _mask_triangle(gather_triangles(scene.prims,
-                                          jnp.clip(pair, 0, None)), hit)
-    bary = jnp.where(hit[:, None], jnp.stack([1 - u - v, u, v], -1), 0.0)
-    res = HitResult(hit=hit, triangle=tri, t=jnp.where(hit, t, 0.0),
-                    barycentric=bary, prim_idx=jnp.where(hit, pair, -1),
-                    instance_idx=jnp.where(hit, 0, -1))
+    tile = min(tile, max(o.shape[0], 8))
+    res = _dense_query_full(scene, o, flat(rays.d), flat(rays.t_min),
+                            flat(rays.t_max), tile=tile,
+                            select_per_round=select_per_round,
+                            max_rounds=max_rounds)
     return jax.tree_util.tree_map(
         lambda a: a.reshape(batch + a.shape[1:]), res)
 

@@ -135,86 +135,73 @@ def build_worklist(entry, max_pairs: int):
 
 
 @partial(jax.jit, static_argnames=("TILE", "max_pairs", "interpret"))
-def _pallas_query(scene_feats, cluster_min, cluster_max, o, d, t_min, t_max,
+def _pallas_query(scene, o, d, t_min, t_max,
                   *, TILE: int, max_pairs: int, interpret: bool):
-    """Jitted core: interval phase A -> worklist -> Pallas sweep.
-    Ray arrays are already padded to a TILE multiple."""
-    from ..accel.dense import DenseScene, _phase_a_tile_entry, ray_features
-    C = scene_feats.shape[2] // 4
+    """End-to-end jitted query: pad -> interval phase A -> worklist ->
+    Pallas sweep -> finalize. One dispatch (eager glue on the tunneled
+    backend costs ~ms per op)."""
+    from ..accel.dense import (_phase_a_tile_entry, ray_features,
+                               finalize_hits)
+    C = scene.cluster_size
+    R0 = o.shape[0]
+    d = jnp.where(d == 0.0, 0.0, d)
+    pad0 = (-R0) % TILE
+    if pad0:
+        ext = lambda a, f: jnp.concatenate(
+            [a, jnp.full((pad0,) + a.shape[1:], f, a.dtype)])
+        o, d = ext(o, 0.0), ext(d, 1.0)
+        t_min, t_max = ext(t_min, 0.0), ext(t_max, -jnp.inf)
     R = o.shape[0]
     n_tiles = R // TILE
     invd = safe_invdir(d)
-    scene_view = DenseScene(
-        tri_feats=scene_feats, cluster_min=cluster_min,
-        cluster_max=cluster_max, prims=None, root_aabb=None,
-        n_prims=0, cluster_size=C)
-    entry = _phase_a_tile_entry(scene_view, o, d, invd, t_min, t_max,
+    entry = _phase_a_tile_entry(scene, o, d, invd, t_min, t_max,
                                 n_tiles, TILE)
     tids, cids, total = build_worklist(entry, max_pairs)
 
     phi = ray_features(o, d)
     # Dummy tile row block absorbs invalid worklist entries.
-    pad_rows = TILE
-    phi_p = jnp.concatenate([phi, jnp.zeros((pad_rows, FEAT), jnp.float32)])
-    tmin_p = jnp.concatenate([t_min, jnp.zeros((pad_rows,))])[:, None]
-    best0_p = jnp.concatenate([t_max, jnp.full((pad_rows,), -jnp.inf)])[:, None]
+    phi_p = jnp.concatenate([phi, jnp.zeros((TILE, FEAT), jnp.float32)])
+    tmin_p = jnp.concatenate([t_min, jnp.zeros((TILE,))])[:, None]
+    best0_p = jnp.concatenate([t_max, jnp.full((TILE,), -jnp.inf)])[:, None]
 
-    t, pair, u, v = _run_worklist(tids, cids, phi_p, scene_feats, tmin_p,
-                                  best0_p, TILE=TILE, C=C,
+    t, pair, u, v = _run_worklist(tids, cids, phi_p, scene.tri_feats,
+                                  tmin_p, best0_p, TILE=TILE, C=C,
                                   n_blocks=max_pairs, interpret=interpret)
     # Rows whose tile never appears in the worklist keep undefined
     # outputs; mask them via the entry matrix.
     tile_touched = jnp.any(jnp.isfinite(entry), axis=1)      # (n_tiles,)
     touched = jnp.repeat(tile_touched, TILE)
-    touched = jnp.concatenate([touched, jnp.zeros((pad_rows,), bool)])
+    touched = jnp.concatenate([touched, jnp.zeros((TILE,), bool)])
     t = jnp.where(touched, t, jnp.inf)
     pair = jnp.where(touched, pair, -1)
-    hit = (pair >= 0) & jnp.isfinite(t)
-    return (t[:R], pair[:R], u[:R], v[:R], hit[:R], total)
+    res = finalize_hits(scene, pair[:R0], t[:R0], u[:R0], v[:R0])
+    return res, total
 
 
 def closest_hit_dense_pallas(scene, rays, *, tile: int = 256,
                              max_pairs_per_tile: int = 48,
-                             interpret=None):
+                             interpret=None, check_overflow: bool = True):
     """Closest hit via the Pallas worklist kernel. Exact, single pass over
     all conservative candidates (no inter-cluster best-t pruning yet).
-    Raises on worklist overflow — raise max_pairs_per_tile then."""
-    from ..accel.brute import HitResult, gather_triangles, _mask_triangle
+    ``check_overflow=False`` skips the host sync on the pair count (use
+    when capacity is known ample, e.g. in benchmarks)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     batch = rays.batch_shape
     flat = lambda a: a.reshape((-1,) + a.shape[len(batch):])
     o = flat(rays.o)
-    d = jnp.where(rays.d == 0.0, 0.0, rays.d).reshape(o.shape)
-    t_min = flat(rays.t_min)
-    t_max = flat(rays.t_max)
     R = o.shape[0]
     TILE = min(tile, max(R, 8))
-    pad = (-R) % TILE
-    if pad:
-        ext = lambda a, f: jnp.concatenate(
-            [a, jnp.full((pad,) + a.shape[1:], f, a.dtype)])
-        o, d = ext(o, 0.0), ext(d, 1.0)
-        t_min, t_max = ext(t_min, 0.0), ext(t_max, -jnp.inf)
-    n_tiles = o.shape[0] // TILE
+    n_tiles = -(-R // TILE)
     max_pairs = min(max_pairs_per_tile * n_tiles,
                     n_tiles * scene.n_clusters)
 
-    t, pair, u, v, hit, total = _pallas_query(
-        scene.tri_feats, scene.cluster_min, scene.cluster_max,
-        o, d, t_min, t_max, TILE=TILE, max_pairs=max_pairs,
-        interpret=interpret)
-    if int(total) > max_pairs:
+    res, total = _pallas_query(scene, o, flat(rays.d), flat(rays.t_min),
+                               flat(rays.t_max), TILE=TILE,
+                               max_pairs=max_pairs, interpret=interpret)
+    if check_overflow and int(total) > max_pairs:
         raise RuntimeError(
             f"worklist overflow: {int(total)} pairs > capacity {max_pairs}; "
             f"raise max_pairs_per_tile")
-
-    t, pair, u, v, hit = (x[:R] for x in (t, pair, u, v, hit))
-    tri = _mask_triangle(gather_triangles(scene.prims,
-                                          jnp.clip(pair, 0, None)), hit)
-    bary = jnp.where(hit[:, None], jnp.stack([1 - u - v, u, v], -1), 0.0)
-    res = HitResult(hit=hit, triangle=tri, t=jnp.where(hit, t, 0.0),
-                    barycentric=bary, prim_idx=jnp.where(hit, pair, -1),
-                    instance_idx=jnp.where(hit, 0, -1))
     return jax.tree_util.tree_map(
         lambda a: a.reshape(batch + a.shape[1:]), res)

@@ -23,7 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.ray import Ray
-from ..accel import traversal as _trav
+from ..accel import dispatch as _disp, traversal as _trav
 from ..accel.types import StaticTLAS
 
 RAY_AXIS = "rays"
@@ -73,7 +73,7 @@ def distributed_closest_hit(scene: StaticTLAS, rays: Ray, mesh: Mesh,
     Returns a HitResult sharded like the rays."""
     scene = replicate_scene(scene, mesh)
     rays = shard_rays(pad_rays_to(rays, mesh.size), mesh)
-    return _trav.closest_hit(scene, rays, tile_size=tile_size)
+    return _disp.scene_closest_hit(scene, rays, tile_size=tile_size)
 
 
 @partial(jax.jit, static_argnames=("n_bins", "tile_size"))
@@ -82,7 +82,7 @@ def _illumination_step(scene: StaticTLAS, rays: Ray, n_bins: int,
     """One full sharded analysis step: trace + shade + global histogram.
     The (n_bins,) output is replicated => XLA inserts the cross-chip
     reduction over ICI."""
-    res = _trav.closest_hit(scene, rays, tile_size=tile_size)
+    res = _disp.scene_closest_hit(scene, rays, tile_size=tile_size)
     idx = jnp.clip(res.triangle.metadata.astype(jnp.int32), 0, n_bins - 1)
     hist = jnp.zeros((n_bins,), jnp.float32).at[idx].add(
         res.hit.astype(jnp.float32), mode="drop")
