@@ -30,13 +30,27 @@ FEAT = 16
 
 
 def _kernel(tids_ref, cids_ref, phi_ref, feats_ref, tmin_ref, best0_ref,
-            t_out, pair_out, u_out, v_out, *, C: int, edge_eps: float):
+            t_out, pair_out, u_out, v_out, *, C: int, edge_eps: float,
+            n_dummy_tile: int):
     b = pl.program_id(0)
     tid = tids_ref[b]
     prev_tid = tids_ref[jnp.maximum(b - 1, 0)]
     first = (b == 0) | (tid != prev_tid)
     cid = cids_ref[b]
+    # Padding blocks all point at the dummy tile; skip their compute (the
+    # repeated dummy index also means Pallas never re-DMAs their blocks).
+    valid = tid != n_dummy_tile
 
+    @pl.when(valid)
+    def _():
+        _kernel_body(cids_ref, phi_ref, feats_ref, tmin_ref, best0_ref,
+                     t_out, pair_out, u_out, v_out, b, cid, first,
+                     C=C, edge_eps=edge_eps)
+
+
+def _kernel_body(cids_ref, phi_ref, feats_ref, tmin_ref, best0_ref,
+                 t_out, pair_out, u_out, v_out, b, cid, first, *, C: int,
+                 edge_eps: float):
     phi = phi_ref[:]                     # (TILE, 16)
     feats = feats_ref[0]                 # (16, 4C)
     q = jax.lax.dot_general(
@@ -101,7 +115,9 @@ def _run_worklist(tids, cids, phi, feats, tmin, best0, *, TILE: int, C: int,
             pl.BlockSpec((TILE, 1), lambda b, t, c: (t[b], 0)),
         ],
     )
-    kernel = partial(_kernel, C=C, edge_eps=1e-5)
+    n_dummy_tile = R // TILE - 1
+    kernel = partial(_kernel, C=C, edge_eps=1e-5,
+                     n_dummy_tile=n_dummy_tile)
     out_shapes = [
         jax.ShapeDtypeStruct((R, 1), jnp.float32),
         jax.ShapeDtypeStruct((R, 1), jnp.int32),
@@ -179,7 +195,7 @@ def _pallas_query(scene, o, d, t_min, t_max,
 
 
 def closest_hit_dense_pallas(scene, rays, *, tile: int = 256,
-                             max_pairs_per_tile: int = 48,
+                             max_pairs_per_tile: int = 24,
                              interpret=None, check_overflow: bool = True):
     """Closest hit via the Pallas worklist kernel. Exact, single pass over
     all conservative candidates (no inter-cluster best-t pruning yet).
