@@ -131,6 +131,86 @@ def _run_worklist(tids, cids, phi, feats, tmin, best0, *, TILE: int, C: int,
     return t[:, 0], pair[:, 0], u[:, 0], v[:, 0]
 
 
+def _phase_a_kernel(stats_ref, bounds_ref, entry_out):
+    """Interval bundle-vs-AABB test, fused in VMEM.
+
+    stats cols: o_lo(0:3) o_hi(3:6) i_lo(6:9) i_hi(9:12) tmin(12) tmax(13).
+    bounds rows: bmin xyz (0:3), bmax xyz (3:6). One output element per
+    (tile, cluster): conservative entry lower bound or +inf.
+    """
+    stats = stats_ref[:]                      # (TN, 16)
+    TN = stats.shape[0]
+    K = bounds_ref.shape[1]
+    t_lo = jnp.full((TN, K), -jnp.inf, jnp.float32)
+    t_hi = jnp.full((TN, K), jnp.inf, jnp.float32)
+    for a in range(3):
+        blo = bounds_ref[a, :][None, :]
+        bhi = bounds_ref[3 + a, :][None, :]
+        lo8 = jnp.full((TN, K), jnp.inf, jnp.float32)
+        hi8 = jnp.full((TN, K), -jnp.inf, jnp.float32)
+        for bb in (blo, bhi):
+            for oc in (stats[:, a:a + 1], stats[:, 3 + a:4 + a]):
+                diff = bb - oc
+                for ic in (stats[:, 6 + a:7 + a], stats[:, 9 + a:10 + a]):
+                    prod = diff * ic
+                    lo8 = jnp.minimum(lo8, prod)
+                    hi8 = jnp.maximum(hi8, prod)
+        t_lo = jnp.maximum(t_lo, lo8)
+        t_hi = jnp.minimum(t_hi, hi8)
+    entry = jnp.maximum(t_lo, stats[:, 12:13])
+    exit_ = jnp.minimum(t_hi, stats[:, 13:14])
+    entry_out[:] = jnp.where(entry <= exit_, entry, jnp.inf)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _phase_a_fast(stats, bounds, *, interpret: bool):
+    """(n_tiles, 16) stats x (6, K) bounds -> (n_tiles, K) entry matrix."""
+    n_tiles = stats.shape[0]
+    K = bounds.shape[1]
+    TN = min(256, n_tiles)
+    KB = min(2048, K)
+    grid = (-(-n_tiles // TN), -(-K // KB))
+    return pl.pallas_call(
+        _phase_a_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TN, 16), lambda i, j: (i, 0)),
+            pl.BlockSpec((6, KB), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((TN, KB), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, K), jnp.float32),
+        interpret=interpret,
+    )(stats, bounds)
+
+
+def phase_a_entry(scene, o, d, t_min, t_max, n_tiles, TILE, interpret):
+    """Tile stats + Pallas interval culling -> (n_tiles, K) entry bounds."""
+    invd = safe_invdir(jnp.where(d == 0.0, 0.0, d))
+    shp = lambda a: a.reshape((n_tiles, TILE) + a.shape[1:])
+    o_t, invd_t = shp(o), shp(invd)
+    stats = jnp.concatenate([
+        jnp.min(o_t, axis=1), jnp.max(o_t, axis=1),
+        jnp.min(invd_t, axis=1), jnp.max(invd_t, axis=1),
+        jnp.min(shp(t_min), axis=1)[:, None],
+        jnp.max(shp(t_max), axis=1)[:, None],
+        jnp.zeros((n_tiles, 2), jnp.float32)], axis=1)
+    bounds = jnp.concatenate([scene.cluster_min.T, scene.cluster_max.T])
+    # Pad K to the lane block so the kernel grid divides evenly.
+    K = bounds.shape[1]
+    KB = min(2048, K)
+    padK = (-K) % KB
+    if padK:
+        bounds = jnp.concatenate(
+            [bounds, jnp.full((6, padK), 1e30, jnp.float32)], axis=1)
+    TN = min(256, n_tiles)
+    padT = (-n_tiles) % TN
+    if padT:
+        stats = jnp.concatenate(
+            [stats, jnp.zeros((padT, 16), jnp.float32)])
+    entry = _phase_a_fast(stats, bounds, interpret=interpret)
+    return entry[:n_tiles, :K]
+
+
 def build_worklist(entry, max_pairs: int):
     """From the (n_tiles, K) conservative entry matrix, emit (tids, cids)
     for every finite-entry pair, sorted by tile (finite pairs first).
@@ -156,8 +236,7 @@ def _pallas_query(scene, o, d, t_min, t_max,
     """End-to-end jitted query: pad -> interval phase A -> worklist ->
     Pallas sweep -> finalize. One dispatch (eager glue on the tunneled
     backend costs ~ms per op)."""
-    from ..accel.dense import (_phase_a_tile_entry, ray_features,
-                               finalize_hits)
+    from ..accel.dense import ray_features, finalize_hits
     C = scene.cluster_size
     R0 = o.shape[0]
     d = jnp.where(d == 0.0, 0.0, d)
@@ -169,9 +248,8 @@ def _pallas_query(scene, o, d, t_min, t_max,
         t_min, t_max = ext(t_min, 0.0), ext(t_max, -jnp.inf)
     R = o.shape[0]
     n_tiles = R // TILE
-    invd = safe_invdir(d)
-    entry = _phase_a_tile_entry(scene, o, d, invd, t_min, t_max,
-                                n_tiles, TILE)
+    entry = phase_a_entry(scene, o, d, t_min, t_max, n_tiles, TILE,
+                          interpret)
     tids, cids, total = build_worklist(entry, max_pairs)
 
     phi = ray_features(o, d)
