@@ -27,13 +27,14 @@ def main():
     from raycore_tpu.scene.tlas import TLAS
     from raycore_tpu.accel import traversal as trav
     from raycore_tpu.accel.dense import build_dense, closest_hit_dense
+    from raycore_tpu.ops.pallas_dense import closest_hit_dense_pallas
 
     n_tris_target = int(os.environ.get("RAYCORE_BENCH_TRIS", 1_000_000))
     n_rays = int(os.environ.get("RAYCORE_BENCH_RAYS", 1_048_576))
-    tile = int(os.environ.get("RAYCORE_BENCH_TILE", 4096))
+    tile = int(os.environ.get("RAYCORE_BENCH_TILE", 512))
     reps = int(os.environ.get("RAYCORE_BENCH_REPS", 5))
-    engine = os.environ.get("RAYCORE_BENCH_ENGINE", "dense")
-    cluster = int(os.environ.get("RAYCORE_BENCH_CLUSTER", 256))
+    engine = os.environ.get("RAYCORE_BENCH_ENGINE", "dense_pallas")
+    cluster = int(os.environ.get("RAYCORE_BENCH_CLUSTER", 128))
     select = int(os.environ.get("RAYCORE_BENCH_SELECT", 4))
 
     # Procedural 1M-tri heightfield (spatially coherent, like a scanned model).
@@ -43,7 +44,7 @@ def main():
     n_tris = mesh.vertices.shape[0]
 
     build_t0 = time.time()
-    if engine == "dense":
+    if engine.startswith("dense"):
         scene = build_dense(mesh, cluster_size=cluster)
         jax.block_until_ready(scene.tri_feats)
     else:
@@ -71,7 +72,12 @@ def main():
     d = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0], jnp.float32), o.shape)
     rays = rc.Ray.create(o=o, d=d)
 
-    if engine == "dense":
+    if engine == "dense_pallas":
+        cap = int(os.environ.get("RAYCORE_BENCH_CAP", 24))
+        run = lambda: closest_hit_dense_pallas(
+            scene, rays, tile=tile, max_pairs_per_tile=cap,
+            check_overflow=False)
+    elif engine == "dense":
         run = lambda: closest_hit_dense(scene, rays, tile=tile,
                                         select_per_round=select)
     else:
