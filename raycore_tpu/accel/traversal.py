@@ -202,10 +202,16 @@ def _finalize(tlas: StaticTLAS, best_inst, best_prim, t_maxed, u, v,
 
 
 @partial(jax.jit, static_argnames=("any_hit", "stack_size", "max_iters",
-                                   "tile_size", "substeps"))
+                                   "tile_size", "substeps", "force_tmin0"))
 def _trace(tlas: StaticTLAS, o, d, t_min, t_max, *, any_hit: bool,
            stack_size: int, max_iters: int, tile_size: int,
-           substeps: int = 4):
+           substeps: int = 4, force_tmin0: bool = False):
+    """End-to-end jitted: check_direction, pad, tile loop, finalize —
+    one dispatch (eager glue costs ~ms/op on the tunneled backend)."""
+    R0 = o.shape[0]
+    d = jnp.where(d == 0.0, 0.0, d)
+    if force_tmin0:
+        t_min = jnp.zeros_like(t_min)
     R = o.shape[0]
     n_tiles = max(1, -(-R // tile_size))
     padded = n_tiles * tile_size
@@ -226,8 +232,8 @@ def _trace(tlas: StaticTLAS, o, d, t_min, t_max, *, any_hit: bool,
                               substeps=substeps)
 
     outs = jax.lax.map(one, (tiles(o), tiles(d), tiles(t_min), tiles(t_max)))
-    flat = tuple(x.reshape((padded,) + x.shape[2:])[:R] for x in outs)
-    return flat
+    flat = tuple(x.reshape((padded,) + x.shape[2:])[:R0] for x in outs)
+    return _finalize(tlas, *flat, batch_shape=(R0,))
 
 
 def closest_hit(tlas: StaticTLAS, rays: Ray, *, stack_size: int = 64,
@@ -237,14 +243,14 @@ def closest_hit(tlas: StaticTLAS, rays: Ray, *, stack_size: int = 64,
     src/instanced-bvh.jl:1902-2023). Returns a HitResult pytree with the
     ray batch shape; zero-triangle sentinel and -1 indices on miss."""
     batch = rays.batch_shape
-    flat = lambda a, k: a.reshape((-1,) + a.shape[len(batch):])
-    o = flat(rays.o, 3)
-    d = jnp.where(rays.d == 0.0, 0.0, rays.d).reshape(o.shape)  # check_direction
-    out = _trace(tlas, o, d, flat(rays.t_min, 0), flat(rays.t_max, 0),
+    flat = lambda a: a.reshape((-1,) + a.shape[len(batch):])
+    o = flat(rays.o)
+    res = _trace(tlas, o, flat(rays.d), flat(rays.t_min), flat(rays.t_max),
                  any_hit=False, stack_size=stack_size, max_iters=max_iters,
                  tile_size=min(tile_size, max(o.shape[0], 8)),
                  substeps=substeps)
-    return _finalize(tlas, *out, batch_shape=batch)
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape(batch + a.shape[1:]), res)
 
 
 def any_hit(tlas: StaticTLAS, rays: Ray, *, stack_size: int = 64,
@@ -257,12 +263,9 @@ def any_hit(tlas: StaticTLAS, rays: Ray, *, stack_size: int = 64,
     batch = rays.batch_shape
     flat = lambda a: a.reshape((-1,) + a.shape[len(batch):])
     o = flat(rays.o)
-    d = jnp.where(rays.d == 0.0, 0.0, rays.d).reshape(o.shape)
-    t_min = jnp.zeros(o.shape[:1], jnp.float32)
-    out = _trace(tlas, o, d, t_min, flat(rays.t_max),
+    res = _trace(tlas, o, flat(rays.d), flat(rays.t_min), flat(rays.t_max),
                  any_hit=True, stack_size=stack_size, max_iters=max_iters,
                  tile_size=min(tile_size, max(o.shape[0], 8)),
-                 substeps=substeps)
-    best_inst, best_prim, t_maxed, u, v = out
-    # For any_hit the hit t is the recorded leaf t (t_max was shrunk to it).
-    return _finalize(tlas, best_inst, best_prim, t_maxed, u, v, batch)
+                 substeps=substeps, force_tmin0=True)
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape(batch + a.shape[1:]), res)

@@ -29,7 +29,8 @@ from ..core.triangle import safe_invdir
 FEAT = 16
 
 
-def _kernel(tids_ref, cids_ref, phi_ref, feats_ref, tmin_ref, best0_ref,
+def _kernel(tids_ref, cids_ref, phi_ref, feats_ref, tmin_ref, t0_ref,
+            pair0_ref, u0_ref, v0_ref,
             t_out, pair_out, u_out, v_out, *, C: int, edge_eps: float,
             n_dummy_tile: int):
     b = pl.program_id(0)
@@ -43,12 +44,14 @@ def _kernel(tids_ref, cids_ref, phi_ref, feats_ref, tmin_ref, best0_ref,
 
     @pl.when(valid)
     def _():
-        _kernel_body(cids_ref, phi_ref, feats_ref, tmin_ref, best0_ref,
+        _kernel_body(cids_ref, phi_ref, feats_ref, tmin_ref, t0_ref,
+                     pair0_ref, u0_ref, v0_ref,
                      t_out, pair_out, u_out, v_out, b, cid, first,
                      C=C, edge_eps=edge_eps)
 
 
-def _kernel_body(cids_ref, phi_ref, feats_ref, tmin_ref, best0_ref,
+def _kernel_body(cids_ref, phi_ref, feats_ref, tmin_ref, t0_ref,
+                 pair0_ref, u0_ref, v0_ref,
                  t_out, pair_out, u_out, v_out, b, cid, first, *, C: int,
                  edge_eps: float):
     phi = phi_ref[:]                     # (TILE, 16)
@@ -67,10 +70,10 @@ def _kernel_body(cids_ref, phi_ref, feats_ref, tmin_ref, best0_ref,
     v = vdet * r
     t = tdet * r
 
-    cur_t = jnp.where(first, best0_ref[:], t_out[:])         # (TILE, 1)
-    cur_pair = jnp.where(first, -1, pair_out[:])
-    cur_u = jnp.where(first, 0.0, u_out[:])
-    cur_v = jnp.where(first, 0.0, v_out[:])
+    cur_t = jnp.where(first, t0_ref[:], t_out[:])            # (TILE, 1)
+    cur_pair = jnp.where(first, pair0_ref[:], pair_out[:])
+    cur_u = jnp.where(first, u0_ref[:], u_out[:])
+    cur_v = jnp.where(first, v0_ref[:], v_out[:])
 
     e = edge_eps
     ok = (u >= -e) & (u <= 1.0 + e) & (v >= -e) & (u + v <= 1.0 + e) \
@@ -92,29 +95,21 @@ def _kernel_body(cids_ref, phi_ref, feats_ref, tmin_ref, best0_ref,
     v_out[:] = jnp.where(better, sel(v), cur_v)
 
 
+WORKLIST_CHUNK = 4096   # blocks per pallas_call: scalar-prefetch ids live
+                        # in SMEM, so the id arrays must stay small.
+
+
 @partial(jax.jit, static_argnames=("TILE", "C", "n_blocks", "interpret"))
 def _run_worklist(tids, cids, phi, feats, tmin, best0, *, TILE: int, C: int,
                   n_blocks: int, interpret: bool):
     """tids/cids: (n_blocks,) int32 sorted by tid (padding blocks point at
     the trailing dummy tile). phi: (n_tiles_p*TILE, 16). feats: (K, 16, 4C).
-    tmin/best0: (n_tiles_p*TILE, 1). Returns (t, pair, u, v) flat rows."""
+    tmin/best0: (n_tiles_p*TILE, 1). Returns (t, pair, u, v) flat rows.
+
+    Long worklists run as a chain of bounded pallas_calls; each chunk's
+    outputs seed the next chunk's init buffers, so tiles split across
+    chunk boundaries merge correctly."""
     R = phi.shape[0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((TILE, FEAT), lambda b, t, c: (t[b], 0)),
-            pl.BlockSpec((1, FEAT, 4 * C), lambda b, t, c: (c[b], 0, 0)),
-            pl.BlockSpec((TILE, 1), lambda b, t, c: (t[b], 0)),
-            pl.BlockSpec((TILE, 1), lambda b, t, c: (t[b], 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((TILE, 1), lambda b, t, c: (t[b], 0)),
-            pl.BlockSpec((TILE, 1), lambda b, t, c: (t[b], 0)),
-            pl.BlockSpec((TILE, 1), lambda b, t, c: (t[b], 0)),
-            pl.BlockSpec((TILE, 1), lambda b, t, c: (t[b], 0)),
-        ],
-    )
     n_dummy_tile = R // TILE - 1
     kernel = partial(_kernel, C=C, edge_eps=1e-5,
                      n_dummy_tile=n_dummy_tile)
@@ -124,10 +119,34 @@ def _run_worklist(tids, cids, phi, feats, tmin, best0, *, TILE: int, C: int,
         jax.ShapeDtypeStruct((R, 1), jnp.float32),
         jax.ShapeDtypeStruct((R, 1), jnp.float32),
     ]
-    t, pair, u, v = pl.pallas_call(
-        kernel, grid_spec=grid_spec, out_shape=out_shapes,
-        interpret=interpret,
-    )(tids, cids, phi, feats, tmin, best0)
+    spec_tile = pl.BlockSpec((TILE, 1), lambda b, t, c: (t[b], 0))
+
+    t = best0
+    pair = jnp.full((R, 1), -1, jnp.int32)
+    u = jnp.zeros((R, 1), jnp.float32)
+    v = jnp.zeros((R, 1), jnp.float32)
+    n_chunks = -(-n_blocks // WORKLIST_CHUNK)
+    for ch in range(n_chunks):
+        lo = ch * WORKLIST_CHUNK
+        sz = min(WORKLIST_CHUNK, n_blocks - lo)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(sz,),
+            in_specs=[
+                pl.BlockSpec((TILE, FEAT), lambda b, t_, c: (t_[b], 0)),
+                pl.BlockSpec((1, FEAT, 4 * C), lambda b, t_, c: (c[b], 0, 0)),
+                spec_tile, spec_tile, spec_tile, spec_tile, spec_tile,
+            ],
+            out_specs=[spec_tile] * 4,
+        )
+        # Alias the carried best buffers onto the outputs so rows whose
+        # tile is absent from this chunk keep their previous values.
+        t, pair, u, v = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shapes,
+            input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+            interpret=interpret,
+        )(tids[lo:lo + sz], cids[lo:lo + sz], phi, feats, tmin,
+          t, pair, u, v)
     return t[:, 0], pair[:, 0], u[:, 0], v[:, 0]
 
 
