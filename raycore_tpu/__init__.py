@@ -55,6 +55,7 @@ from .accel.transport import (RTRay, RTHitResult, trace_closest_hits,
 from .accel.protocol import AbstractAccel, TLASAccel, BruteAccel
 from .accel.dense import (DenseScene, build_dense, closest_hit_dense,
                           any_hit_dense, morton_sort_rays)
+from .ops.pallas_dense import closest_hit_dense_pallas
 from .scene.tlas import TLAS, TLASHandle, INVALID_HANDLE, blas_to_static_tlas
 from .scene.mesh import (build_triangles, is_degenerate_face, sphere_mesh,
                          box_mesh, plane_mesh, displaced_grid_mesh)
