@@ -186,8 +186,8 @@ def _phase_a_fast(stats, bounds, *, interpret: bool):
     """(n_tiles, 16) stats x (6, K) bounds -> (n_tiles, K) entry matrix."""
     n_tiles = stats.shape[0]
     K = bounds.shape[1]
-    TN = min(256, n_tiles)
-    KB = min(2048, K)
+    TN = min(128, n_tiles)
+    KB = min(1024, K)
     grid = (-(-n_tiles // TN), -(-K // KB))
     return pl.pallas_call(
         _phase_a_kernel,
@@ -216,12 +216,12 @@ def phase_a_entry(scene, o, d, t_min, t_max, n_tiles, TILE, interpret):
     bounds = jnp.concatenate([scene.cluster_min.T, scene.cluster_max.T])
     # Pad K to the lane block so the kernel grid divides evenly.
     K = bounds.shape[1]
-    KB = min(2048, K)
+    KB = min(1024, K)
     padK = (-K) % KB
     if padK:
         bounds = jnp.concatenate(
             [bounds, jnp.full((6, padK), 1e30, jnp.float32)], axis=1)
-    TN = min(256, n_tiles)
+    TN = min(128, n_tiles)
     padT = (-n_tiles) % TN
     if padT:
         stats = jnp.concatenate(
