@@ -1,0 +1,92 @@
+"""Multi-chip sharding (8-device virtual CPU mesh) + scene IO tests."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import raycore_tpu as rc
+from raycore_tpu.parallel import sharding as sh
+from raycore_tpu.scene.io import save_scene, load_scene
+from raycore_tpu.scene.tlas import TLAS
+from raycore_tpu.accel.dense import build_dense, closest_hit_dense
+
+
+@pytest.fixture(scope="module")
+def scene():
+    mgr = TLAS()
+    mgr.push(rc.sphere_mesh(radius=1.0, n_theta=12, n_phi=24), None)
+    tr = np.eye(3, 4, dtype=np.float32)
+    tr[0, 3] = 3.0
+    mgr.push(rc.box_mesh(), tr)
+    return mgr.sync()
+
+
+def grid_rays(n):
+    xs = jnp.linspace(-1.5, 4.5, n)
+    X, Y = jnp.meshgrid(xs, jnp.linspace(-1.5, 1.5, n), indexing="ij")
+    o = jnp.stack([X, Y, jnp.full_like(X, -4.0)], -1).reshape(-1, 3)
+    d = jnp.broadcast_to(jnp.asarray([0.0, 0, 1.0]), o.shape)
+    return rc.Ray.create(o=o, d=d)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) >= 8
+
+
+def test_distributed_matches_single(scene):
+    mesh = sh.make_mesh(jax.devices()[:8])
+    rays = grid_rays(32)
+    res_d = sh.distributed_closest_hit(scene, rays, mesh, tile_size=128)
+    res_s = rc.closest_hit(scene, rays, tile_size=128)
+    n = rays.o.shape[0]
+    np.testing.assert_array_equal(np.asarray(res_d.hit)[:n],
+                                  np.asarray(res_s.hit))
+    h = np.asarray(res_s.hit)
+    np.testing.assert_allclose(np.asarray(res_d.t)[:n][h],
+                               np.asarray(res_s.t)[h], rtol=1e-5)
+
+
+def test_distributed_illumination_allreduce(scene):
+    mesh = sh.make_mesh(jax.devices()[:8])
+    rays = grid_rays(32)
+    n_bins = int(scene.prims.metadata.shape[0])
+    t, hist = sh.distributed_illumination(scene, rays, mesh, n_bins=n_bins,
+                                          tile_size=128)
+    # Histogram is replicated (all-reduced) and matches the single-device sum.
+    res = rc.closest_hit(scene, rays, tile_size=128)
+    assert float(hist.sum()) == pytest.approx(
+        float(jnp.sum(res.hit)), rel=1e-6)
+
+
+def test_ray_padding_to_mesh(scene):
+    mesh = sh.make_mesh(jax.devices()[:8])
+    rays = grid_rays(9)  # 81 rays, not divisible by 8
+    res = sh.distributed_closest_hit(scene, rays, mesh, tile_size=64)
+    assert res.hit.shape[0] % 8 == 0
+    assert res.hit.shape[0] >= 81
+
+
+def test_scene_io_roundtrip_tlas(scene, tmp_path):
+    p = str(tmp_path / "scene.npz")
+    save_scene(p, scene)
+    loaded = load_scene(p)
+    rays = grid_rays(16)
+    r1 = rc.closest_hit(scene, rays, tile_size=64)
+    r2 = rc.closest_hit(loaded, rays, tile_size=64)
+    np.testing.assert_array_equal(np.asarray(r1.hit), np.asarray(r2.hit))
+    np.testing.assert_array_equal(np.asarray(r1.t), np.asarray(r2.t))
+
+
+def test_scene_io_roundtrip_dense(tmp_path):
+    ds = build_dense(rc.displaced_grid_mesh(n=16), cluster_size=32)
+    p = str(tmp_path / "dense.npz")
+    save_scene(p, ds)
+    loaded = load_scene(p)
+    assert loaded.cluster_size == ds.cluster_size
+    rays = rc.Ray.create(o=[0.1, 0.1, 2.0], d=[0.0, 0, -1.0])
+    r1 = closest_hit_dense(ds, rays, tile=8)
+    r2 = closest_hit_dense(loaded, rays, tile=8)
+    assert bool(r1.hit) == bool(r2.hit)
+    assert float(r1.t) == float(r2.t)
