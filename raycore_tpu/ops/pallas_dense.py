@@ -291,13 +291,91 @@ def _pallas_query(scene, o, d, t_min, t_max,
     return res, total
 
 
+def _toppass_worklist(entry, S1: int):
+    """Per-tile nearest-S1 selection, emitted tile-major (already sorted).
+    Returns (tids, cids, remaining_entry)."""
+    n_tiles, K = entry.shape
+    e = entry
+    cids = []
+    rows = jnp.arange(n_tiles)
+    for _ in range(S1):
+        cid = jnp.argmin(e, axis=1)
+        cids.append(cid)
+        e = e.at[rows, cid].set(jnp.inf)
+    cids = jnp.stack(cids, axis=1)                     # (n_tiles, S1)
+    sel_entry = jnp.take_along_axis(entry, cids, axis=1)
+    valid = jnp.isfinite(sel_entry)
+    tids = jnp.where(valid, rows[:, None], n_tiles).reshape(-1)
+    cids = jnp.where(valid, cids, 0).reshape(-1)
+    # Tile-major but invalids interleaved; sort by tid to group dummies last.
+    order = jnp.argsort(tids, stable=True)
+    return tids[order].astype(jnp.int32), cids[order].astype(jnp.int32), e
+
+
+@partial(jax.jit, static_argnames=("TILE", "max_pairs", "S1", "interpret"))
+def _pallas_query2(scene, o, d, t_min, t_max,
+                   *, TILE: int, max_pairs: int, S1: int, interpret: bool):
+    """Two-pass pruned query: nearest-S1 clusters per tile first, then only
+    the candidates whose conservative entry can still beat some ray's best."""
+    from ..accel.dense import ray_features, finalize_hits
+    C = scene.cluster_size
+    R0 = o.shape[0]
+    d = jnp.where(d == 0.0, 0.0, d)
+    pad0 = (-R0) % TILE
+    if pad0:
+        ext = lambda a, f: jnp.concatenate(
+            [a, jnp.full((pad0,) + a.shape[1:], f, a.dtype)])
+        o, d = ext(o, 0.0), ext(d, 1.0)
+        t_min, t_max = ext(t_min, 0.0), ext(t_max, -jnp.inf)
+    R = o.shape[0]
+    n_tiles = R // TILE
+    entry = phase_a_entry(scene, o, d, t_min, t_max, n_tiles, TILE,
+                          interpret)
+
+    phi = ray_features(o, d)
+    phi_p = jnp.concatenate([phi, jnp.zeros((TILE, FEAT), jnp.float32)])
+    tmin_p = jnp.concatenate([t_min, jnp.zeros((TILE,))])[:, None]
+    best0 = jnp.concatenate([t_max, jnp.full((TILE,), -jnp.inf)])[:, None]
+
+    # Pass 1: nearest S1 clusters per tile (no sort, fixed count).
+    tids1, cids1, entry_rest = _toppass_worklist(entry, S1)
+    t, pair, u, v = _run_worklist(tids1, cids1, phi_p, scene.tri_feats,
+                                  tmin_p, best0, TILE=TILE, C=C,
+                                  n_blocks=int(tids1.shape[0]),
+                                  interpret=interpret)
+
+    # Pass 2: remaining candidates that could still beat a ray in the tile.
+    tile_best_max = jnp.max(
+        t[:n_tiles * TILE].reshape(n_tiles, TILE), axis=1)
+    entry2 = jnp.where(entry_rest < tile_best_max[:, None], entry_rest,
+                       jnp.inf)
+    tids2, cids2, total2 = build_worklist(entry2, max_pairs)
+    t2, pair2, u2, v2 = _run_worklist(
+        tids2, cids2, phi_p, scene.tri_feats, tmin_p, t[:, None],
+        TILE=TILE, C=C, n_blocks=max_pairs, interpret=interpret)
+    # Merge: pass 2 seeds its best_t from pass 1, so a pass-2 win has
+    # strictly smaller t; keep pass-1 payload where pass 2 found nothing.
+    better = t2 < t
+    pair = jnp.where(better, pair2, pair)
+    u = jnp.where(better, u2, u)
+    v = jnp.where(better, v2, v)
+    t = jnp.where(better, t2, t)
+
+    res = finalize_hits(scene, pair[:R0], t[:R0], u[:R0], v[:R0])
+    return res, total2
+
+
 def closest_hit_dense_pallas(scene, rays, *, tile: int = 256,
                              max_pairs_per_tile: int = 24,
-                             interpret=None, check_overflow: bool = True):
-    """Closest hit via the Pallas worklist kernel. Exact, single pass over
-    all conservative candidates (no inter-cluster best-t pruning yet).
-    ``check_overflow=False`` skips the host sync on the pair count (use
-    when capacity is known ample, e.g. in benchmarks)."""
+                             interpret=None, check_overflow: bool = True,
+                             passes: int = 2, nearest_first: int = 4):
+    """Closest hit via the Pallas worklist kernel.
+
+    passes=2 (default): nearest-``nearest_first`` clusters per tile first,
+    then only candidates whose conservative entry can still beat a found
+    hit — the best-t pruning the one-pass variant lacks. passes=1 tests
+    every conservative candidate. ``check_overflow=False`` skips the host
+    sync on the pair count (use when capacity is known ample)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     batch = rays.batch_shape
@@ -309,9 +387,15 @@ def closest_hit_dense_pallas(scene, rays, *, tile: int = 256,
     max_pairs = min(max_pairs_per_tile * n_tiles,
                     n_tiles * scene.n_clusters)
 
-    res, total = _pallas_query(scene, o, flat(rays.d), flat(rays.t_min),
-                               flat(rays.t_max), TILE=TILE,
-                               max_pairs=max_pairs, interpret=interpret)
+    if passes == 2:
+        res, total = _pallas_query2(
+            scene, o, flat(rays.d), flat(rays.t_min), flat(rays.t_max),
+            TILE=TILE, max_pairs=max_pairs, S1=nearest_first,
+            interpret=interpret)
+    else:
+        res, total = _pallas_query(scene, o, flat(rays.d), flat(rays.t_min),
+                                   flat(rays.t_max), TILE=TILE,
+                                   max_pairs=max_pairs, interpret=interpret)
     if check_overflow and int(total) > max_pairs:
         raise RuntimeError(
             f"worklist overflow: {int(total)} pairs > capacity {max_pairs}; "

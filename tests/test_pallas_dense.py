@@ -89,4 +89,10 @@ def test_overflow_detection(scene):
     rays = rc.Ray.create(o=o, d=jnp.broadcast_to(jnp.array([0.0, 0, -1.0]),
                                                  (64, 3)))
     with pytest.raises(RuntimeError, match="overflow"):
-        closest_hit_dense_pallas(scene, rays, tile=64, max_pairs_per_tile=1)
+        closest_hit_dense_pallas(scene, rays, tile=64, max_pairs_per_tile=1,
+                                 passes=1)
+    # Two-pass pruning usually keeps pass 2 under tiny capacities, but the
+    # result must still be correct when it fits.
+    r = closest_hit_dense_pallas(scene, rays, tile=64, max_pairs_per_tile=4)
+    rb = rc.closest_hit_brute(scene.prims, rays)
+    np.testing.assert_array_equal(np.asarray(r.hit), np.asarray(rb.hit))
