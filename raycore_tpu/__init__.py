@@ -49,7 +49,8 @@ from .accel.types import (BLAS, Instances, StaticTLAS, INVALID_NODE,
                           TOP_LEVEL_SENTINEL)
 from .accel.lbvh import build_blas, karras_topology, refit_aabbs
 from .accel.traversal import closest_hit, any_hit
-from .accel.wide import BLAS4, build_blas4, collapse_blas, closest_hit4, any_hit4
+from .accel.wide import (BLAS4, TLAS4, build_blas4, collapse_blas,
+                         closest_hit4, any_hit4)
 from .accel.transport import (RTRay, RTHitResult, trace_closest_hits,
                               trace_any_hits)
 from .accel.protocol import AbstractAccel, TLASAccel, BruteAccel

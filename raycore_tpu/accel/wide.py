@@ -125,6 +125,17 @@ def build_blas4(tris: Triangle, capacity: int | None = None) -> BLAS4:
     return collapse_blas(build_blas(tris, capacity))
 
 
+@struct.dataclass
+class TLAS4:
+    """Placeholder for a 4-wide instanced TLAS. Parity note: the reference
+    also exports a TLAS4 type with NO build or traversal path over
+    instances (src/bvh4.jl:154-178; SURVEY.md §2.3 "only BLAS4 is
+    functional"). Kept for API-surface parity; the production instanced
+    path is the BVH2 StaticTLAS or the dense clustered engine."""
+    blas4: BLAS4
+    instances: object = None
+
+
 # ---------------------------------------------------------------------------
 # 4-wide traversal (reference closest_hit4/any_hit4, src/bvh4.jl:524-766)
 # ---------------------------------------------------------------------------

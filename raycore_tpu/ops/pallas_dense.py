@@ -27,6 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.triangle import safe_invdir
 
 FEAT = 16
+_MATMUL_PRECISION = jax.lax.Precision.HIGHEST  # override for experiments
 
 
 def _kernel(tids_ref, cids_ref, phi_ref, feats_ref, tmin_ref, t0_ref,
@@ -59,7 +60,7 @@ def _kernel_body(cids_ref, phi_ref, feats_ref, tmin_ref, t0_ref,
     q = jax.lax.dot_general(
         phi, feats, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)          # (TILE, 4C)
+        precision=_MATMUL_PRECISION)                     # (TILE, 4C)
 
     det = q[:, 0 * C:1 * C]
     udet = q[:, 1 * C:2 * C]

@@ -52,6 +52,8 @@ class _InstanceRec:
     blas_slot: int
     transform: np.ndarray     # (3, 4) float32 row-major
     instance_id: int          # 0 = inherit from triangle metadata
+    sbt_offset: int = 0       # shader-binding-table offset (carried for
+                              # parity with the reference/Vulkan layout)
 
 
 @partial(jax.jit, static_argnames=("icap",))
@@ -139,18 +141,25 @@ class TLAS:
         return len(self._blas) - 1
 
     def push(self, tris: Triangle, transform=None, *, instance_id: int = 0,
-             transforms: Optional[Sequence] = None) -> TLASHandle:
+             sbt_offset: int = 0,
+             transforms: Optional[Sequence] = None,
+             instance_ids: Optional[Sequence[int]] = None) -> TLASHandle:
         """Add geometry with one transform, or many transforms sharing a
-        single BLAS build (reference push!, src/instanced-bvh.jl:551-676)."""
+        single BLAS build (reference push!, src/instanced-bvh.jl:551-676;
+        multi-transform variant :661-676 with optional per-instance ids)."""
         slot = self._add_blas(tris)
         hid = self._next_handle
         self._next_handle += 1
         idxs = []
         mats = ([self._as_mat3x4(transform)] if transforms is None
                 else [self._as_mat3x4(t) for t in transforms])
-        for m in mats:
+        ids = ([int(instance_id)] * len(mats) if instance_ids is None
+               else [int(i) for i in instance_ids])
+        assert len(ids) == len(mats)
+        for m, iid in zip(mats, ids):
             idxs.append(len(self._instances))
-            self._instances.append(_InstanceRec(hid, slot, m, int(instance_id)))
+            self._instances.append(
+                _InstanceRec(hid, slot, m, iid, int(sbt_offset)))
             self._blas_refcount[slot] += 1
         self._handles[hid] = idxs
         self._dirty = True
@@ -305,7 +314,38 @@ class TLAS:
         self.revision += 1
         return self._static
 
+    def free(self) -> None:
+        """Drop all device references (reference free!/finalizer,
+        src/instanced-bvh.jl:334-399 — under XLA the allocator reclaims
+        once the pytrees are unreferenced)."""
+        self._blas = []
+        self._blas_refcount = []
+        self._instances = []
+        self._handles = {}
+        self._static = None
+        self._flat_cache = None
+        self._dirty = True
+
     # -- convenience constructors -------------------------------------------
+    @classmethod
+    def from_primitives(cls, meshes: Sequence[Triangle], metadata_fn=None,
+                        transforms=None):
+        """One BLAS per mesh with a user metadata callback
+        ``(mesh_idx, tri_idx) -> uint32`` (reference
+        TLAS(primitives, metadata_fn), src/instanced-bvh.jl:2276-2324)."""
+        import jax.numpy as jnp
+        t = cls()
+        transforms = transforms or [None] * len(meshes)
+        handles = []
+        for mi, (m, tr) in enumerate(zip(meshes, transforms)):
+            if metadata_fn is not None:
+                n = m.vertices.shape[0]
+                meta = np.asarray([metadata_fn(mi, ti) for ti in range(n)],
+                                  np.uint32)
+                m = m.replace(metadata=jnp.asarray(meta))
+            handles.append(t.push(m, tr))
+        return t, handles
+
     @classmethod
     def from_meshes(cls, meshes: Sequence[Triangle], transforms=None):
         """Build a TLAS with one BLAS+instance per mesh; returns

@@ -218,3 +218,35 @@ def test_blas_dedup_on_multi_transform():
     assert s.n_blas == 1
     assert mgr.n_instances == n
     assert s.instance_capacity == next_pow2(n)
+
+
+def test_from_primitives_metadata_fn():
+    meshes = [sphere(0.5, 6, 8), rc.box_mesh()]
+    mgr, handles = TLAS.from_primitives(
+        meshes, metadata_fn=lambda mi, ti: mi * 1000 + ti)
+    s = mgr.sync()
+    assert len(handles) == 2 and mgr.n_geometries == 2
+    import jax.numpy as jnp
+    meta = np.asarray(s.prims.metadata)
+    assert (meta >= 1000).any() and (meta < 1000).any()
+
+
+def test_push_instance_ids_and_sbt():
+    mgr = TLAS()
+    h = mgr.push(sphere(0.4, 6, 8), transforms=[translation(0), translation(3)],
+                 instance_ids=[7, 8], sbt_offset=2)
+    s = mgr.sync()
+    iid = np.asarray(s.instances.instance_id)
+    assert iid[0] == 7 and iid[1] == 8
+    recs = mgr.get_instances(h)
+    assert all(r.sbt_offset == 2 for r in recs)
+
+
+def test_free_drops_scene():
+    mgr = TLAS()
+    mgr.push(sphere(0.4, 6, 8), None)
+    mgr.sync()
+    mgr.free()
+    assert mgr.n_instances == 0 and mgr.n_geometries == 0
+    with pytest.raises(ValueError):
+        mgr.sync()
