@@ -60,6 +60,8 @@ from .ops.pallas_dense import closest_hit_dense_pallas
 from .scene.tlas import TLAS, TLASHandle, INVALID_HANDLE, blas_to_static_tlas
 from .scene.mesh import (build_triangles, is_degenerate_face, sphere_mesh,
                          box_mesh, plane_mesh, displaced_grid_mesh)
+from .scene.obj import load_obj
+from .scene.io import save_scene, load_scene
 from .collections.multitypeset import (MultiTypeSet, StaticMultiTypeSet,
                                        SetKey, TexturePool, with_index,
                                        is_invalid, is_valid_key,
