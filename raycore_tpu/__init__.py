@@ -62,6 +62,7 @@ from .scene.mesh import (build_triangles, is_degenerate_face, sphere_mesh,
                          box_mesh, plane_mesh, displaced_grid_mesh)
 from .scene.obj import load_obj
 from .scene.io import save_scene, load_scene
+from .scene.bake import bake_dense, flatten_world_triangles
 from .collections.multitypeset import (MultiTypeSet, StaticMultiTypeSet,
                                        SetKey, TexturePool, with_index,
                                        is_invalid, is_valid_key,

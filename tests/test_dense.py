@@ -110,3 +110,32 @@ def test_dense_nonpow2_counts(rng):
                                             d=[0.0, 0, 1.0]), tile=8)
     assert bool(r.hit)
     assert float(r.t) == pytest.approx(3.0, abs=0.05)
+
+
+def test_bake_dense_matches_tlas():
+    from raycore_tpu.scene.tlas import TLAS
+    from raycore_tpu.scene.bake import bake_dense
+    mgr = TLAS()
+    mgr.push(rc.sphere_mesh(radius=1.0, n_theta=12, n_phi=24), None)
+    tr = np.eye(3, 4, dtype=np.float32)
+    tr[0, 3] = 3.0
+    tr[:, :3] *= 0.5
+    mgr.push(rc.box_mesh(), tr)
+    scene_t = mgr.sync()
+    scene_d = bake_dense(mgr, cluster_size=64)
+
+    xs = jnp.linspace(-1.5, 4.0, 24)
+    X, Y = jnp.meshgrid(xs, jnp.linspace(-1.2, 1.2, 16), indexing="ij")
+    o = jnp.stack([X, Y, jnp.full_like(X, -4.0)], -1).reshape(-1, 3)
+    rays = rc.Ray.create(o=o, d=jnp.broadcast_to(jnp.asarray([0.0, 0, 1.0]),
+                                                 o.shape))
+    rt = rc.closest_hit(scene_t, rays, tile_size=128)
+    rd = closest_hit_dense(scene_d, rays, tile=128)
+    np.testing.assert_array_equal(np.asarray(rt.hit), np.asarray(rd.hit))
+    m = np.asarray(rt.hit)
+    np.testing.assert_allclose(np.asarray(rt.t)[m], np.asarray(rd.t)[m],
+                               rtol=2e-4, atol=2e-4)
+    # Material metadata survives baking.
+    mm = m & (np.asarray(rt.t) > 0)
+    assert (np.asarray(rt.triangle.metadata)[mm]
+            == np.asarray(rd.triangle.metadata)[mm]).mean() > 0.98
