@@ -48,15 +48,23 @@ FEAT = 16
 
 @struct.dataclass
 class DenseScene:
-    """Clustered, featurized triangle soup (world space)."""
-    tri_feats: jnp.ndarray     # (K, FEAT, 4*C) float32 — per-cluster matmul blocks
+    """Clustered, featurized triangle soup (world space).
+
+    ``tri_feats`` columns are laid out sub-chunk-major: for each of the
+    SUB sub-chunks of CS = C/SUB consecutive Morton triangles, the four
+    quantity blocks [det | u*det | v*det | t*det] x CS are contiguous —
+    so a kernel can skip a whole sub-chunk's matmul when its AABB
+    (``sub_bounds``) provably misses every ray in the tile."""
+    tri_feats: jnp.ndarray     # (K, FEAT, 4*C) float32, sub-chunk-major
     cluster_min: jnp.ndarray   # (K, 3)
     cluster_max: jnp.ndarray   # (K, 3)
+    sub_bounds: jnp.ndarray    # (K, SUB*6) f32: per sub [min xyz, max xyz]
     prims: Triangle            # (K*C, ...) sorted order (cluster-major)
     prims_packed: jnp.ndarray  # (K*C, 40) f32: v(9) n(9) tg(9) uv(6) meta pad
     root_aabb: jnp.ndarray     # (2, 3)
     n_prims: int = struct.field(pytree_node=False)
     cluster_size: int = struct.field(pytree_node=False)
+    sub_chunks: int = struct.field(pytree_node=False, default=4)
 
     @property
     def n_clusters(self) -> int:
@@ -111,36 +119,51 @@ def _featurize_tris(v0, v1, v2):
 
 
 def ray_features(o, d):
-    """(R, FEAT) ray feature rows: [d, o x d, o, 1, pad]."""
+    """(R, FEAT) ray feature rows: [d, o x d, o, 1, invd, pad].
+
+    Columns 10:13 carry safe_invdir(d) for in-kernel slab tests; the
+    triangle feature rows there are zero so the matmul is unaffected."""
     R = o.shape[0]
     phi = jnp.zeros((R, FEAT), jnp.float32)
     phi = phi.at[:, 0:3].set(d)
     phi = phi.at[:, 3:6].set(jnp.cross(o, d))
     phi = phi.at[:, 6:9].set(o)
     phi = phi.at[:, 9].set(1.0)
+    from ..core.triangle import safe_invdir
+    phi = phi.at[:, 10:13].set(safe_invdir(d))
     return phi
 
 
-@partial(jax.jit, static_argnames=("cluster_size",))
-def _build_dense(sorted_tris: Triangle, cluster_size: int) -> DenseScene:
+@partial(jax.jit, static_argnames=("cluster_size", "sub_chunks"))
+def _build_dense(sorted_tris: Triangle, cluster_size: int,
+                 sub_chunks: int = 4) -> DenseScene:
     v = sorted_tris.vertices                       # (T, 3, 3), T = K*C
     T = v.shape[0]
     C = cluster_size
+    SUB = sub_chunks
+    CS = C // SUB
     K = T // C
     psi = _featurize_tris(v[:, 0], v[:, 1], v[:, 2])          # (T, 16, 4)
-    # Cluster-major blocks: (K, C, 16, 4) -> (K, 16, 4C) with quantity-major
-    # columns [det x C | udet x C | vdet x C | tdet x C] for cheap slicing.
-    blocks = psi.reshape(K, C, FEAT, 4).transpose(0, 2, 3, 1) \
-        .reshape(K, FEAT, 4 * C)
-    cmin = jnp.min(v.reshape(K, C, 3, 3), axis=(1, 2))
-    cmax = jnp.max(v.reshape(K, C, 3, 3), axis=(1, 2))
+    # Sub-chunk-major blocks: per sub s, columns
+    # [det x CS | udet x CS | vdet x CS | tdet x CS] contiguous.
+    blocks = psi.reshape(K, SUB, CS, FEAT, 4) \
+        .transpose(0, 3, 1, 4, 2).reshape(K, FEAT, 4 * C)
+    vk = v.reshape(K, SUB, CS, 3, 3)
+    smin = jnp.min(vk, axis=(2, 3))                # (K, SUB, 3)
+    smax = jnp.max(vk, axis=(2, 3))
+    sub_bounds = jnp.concatenate([smin, smax], axis=2).reshape(K, SUB * 6)
+    cmin = jnp.min(smin, axis=1)
+    cmax = jnp.max(smax, axis=1)
     root = jnp.stack([jnp.min(cmin, 0), jnp.max(cmax, 0)])
     return DenseScene(tri_feats=blocks, cluster_min=cmin, cluster_max=cmax,
+                      sub_bounds=sub_bounds,
                       prims=sorted_tris, prims_packed=pack_prims(sorted_tris),
-                      root_aabb=root, n_prims=T, cluster_size=C)
+                      root_aabb=root, n_prims=T, cluster_size=C,
+                      sub_chunks=SUB)
 
 
-def build_dense(tris: Triangle, cluster_size: int = 256) -> DenseScene:
+def build_dense(tris: Triangle, cluster_size: int = 256,
+                sub_chunks: int = 4) -> DenseScene:
     """Cluster + featurize a triangle soup. Triangles are Morton-sorted
     first (clusters must be spatially coherent); capacity pads to a
     multiple of cluster_size with far-away sentinels."""
@@ -149,7 +172,7 @@ def build_dense(tris: Triangle, cluster_size: int = 256) -> DenseScene:
     n = tris.vertices.shape[0]
     cap = max(next_pow2(n), cluster_size)
     blas = build_blas(tris, capacity=cap)        # reuses the Morton sort
-    return _build_dense(blas.prims, cluster_size)
+    return _build_dense(blas.prims, cluster_size, sub_chunks)
 
 
 # ---------------------------------------------------------------------------
@@ -208,8 +231,9 @@ def _phase_a_tile_entry(scene: DenseScene, o, d, invd, t_min, t_max,
 EDGE_EPS = 1e-5  # barycentric acceptance slack (see module docstring)
 
 
-def _epilogue(q, t_min, cur_best, C):
-    """From quantity block (R_t, 4C) -> (t_or_inf, u, v) per pair.
+def _epilogue(q, t_min, cur_best, C, sub_chunks: int = 4):
+    """From quantity block (R_t, 4C, sub-chunk-major) -> (t_or_inf, u, v)
+    per pair, columns in global triangle order.
 
     fast_intersect_triangle semantics with one deliberate difference: the
     u/v range tests carry a small EDGE_EPS slack. The featurized matmul
@@ -217,10 +241,12 @@ def _epilogue(q, t_min, cur_best, C):
     exact-zero edge tests would crack shared edges that the scalar MT path
     hits; the slack turns cracks into harmless double-hits (closest wins).
     """
-    det = q[:, 0 * C:1 * C]
-    udet = q[:, 1 * C:2 * C]
-    vdet = q[:, 2 * C:3 * C]
-    tdet = q[:, 3 * C:4 * C]
+    R = q.shape[0]
+    qs = q.reshape(R, sub_chunks, 4, C // sub_chunks)
+    det = qs[:, :, 0].reshape(R, C)
+    udet = qs[:, :, 1].reshape(R, C)
+    vdet = qs[:, :, 2].reshape(R, C)
+    tdet = qs[:, :, 3].reshape(R, C)
     r = 1.0 / det
     u = udet * r
     v = vdet * r
@@ -304,7 +330,8 @@ def _closest_hit_dense_flat(scene: DenseScene, o, d, t_min, t_max, *,
                            precision=jax.lax.Precision.HIGHEST)
             t_pair, u, v = _epilogue(q.reshape(-1, 4 * C),
                                      jnp.repeat(tmin_g.reshape(-1), S),
-                                     jnp.repeat(bt.reshape(-1), S), C)
+                                     jnp.repeat(bt.reshape(-1), S), C,
+                                     scene.sub_chunks)
             t_pair = t_pair.reshape(TG, tile, S * C)
             u = u.reshape(TG, tile, S * C)
             v = v.reshape(TG, tile, S * C)

@@ -30,10 +30,10 @@ FEAT = 16
 _MATMUL_PRECISION = jax.lax.Precision.HIGHEST  # override for experiments
 
 
-def _kernel(tids_ref, cids_ref, phi_ref, feats_ref, tmin_ref, t0_ref,
-            pair0_ref, u0_ref, v0_ref,
-            t_out, pair_out, u_out, v_out, *, C: int, edge_eps: float,
-            n_dummy_tile: int):
+def _kernel(tids_ref, cids_ref, phi_ref, feats_ref, sub_ref, tmin_ref,
+            t0_ref, pair0_ref, u0_ref, v0_ref,
+            t_out, pair_out, u_out, v_out, *, C: int, SUB: int,
+            edge_eps: float, n_dummy_tile: int):
     b = pl.program_id(0)
     tid = tids_ref[b]
     prev_tid = tids_ref[jnp.maximum(b - 1, 0)]
@@ -45,64 +45,96 @@ def _kernel(tids_ref, cids_ref, phi_ref, feats_ref, tmin_ref, t0_ref,
 
     @pl.when(valid)
     def _():
-        _kernel_body(cids_ref, phi_ref, feats_ref, tmin_ref, t0_ref,
-                     pair0_ref, u0_ref, v0_ref,
+        _kernel_body(cids_ref, phi_ref, feats_ref, sub_ref, tmin_ref,
+                     t0_ref, pair0_ref, u0_ref, v0_ref,
                      t_out, pair_out, u_out, v_out, b, cid, first,
-                     C=C, edge_eps=edge_eps)
+                     C=C, SUB=SUB, edge_eps=edge_eps)
 
 
-def _kernel_body(cids_ref, phi_ref, feats_ref, tmin_ref, t0_ref,
+def _kernel_body(cids_ref, phi_ref, feats_ref, sub_ref, tmin_ref, t0_ref,
                  pair0_ref, u0_ref, v0_ref,
                  t_out, pair_out, u_out, v_out, b, cid, first, *, C: int,
-                 edge_eps: float):
+                 SUB: int, edge_eps: float):
     phi = phi_ref[:]                     # (TILE, 16)
-    feats = feats_ref[0]                 # (16, 4C)
-    q = jax.lax.dot_general(
-        phi, feats, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_MATMUL_PRECISION)                     # (TILE, 4C)
-
-    det = q[:, 0 * C:1 * C]
-    udet = q[:, 1 * C:2 * C]
-    vdet = q[:, 2 * C:3 * C]
-    tdet = q[:, 3 * C:4 * C]
-    r = 1.0 / det
-    u = udet * r
-    v = vdet * r
-    t = tdet * r
+    feats = feats_ref[0]                 # (16, 4C) sub-chunk-major
+    CS = C // SUB
 
     cur_t = jnp.where(first, t0_ref[:], t_out[:])            # (TILE, 1)
     cur_pair = jnp.where(first, pair0_ref[:], pair_out[:])
     cur_u = jnp.where(first, u0_ref[:], u_out[:])
     cur_v = jnp.where(first, v0_ref[:], v_out[:])
+    tmin = tmin_ref[:]
 
+    o = phi[:, 6:9]
+    invd = phi[:, 10:13]
     e = edge_eps
-    ok = (u >= -e) & (u <= 1.0 + e) & (v >= -e) & (u + v <= 1.0 + e) \
-        & (t >= tmin_ref[:]) & (t <= cur_t)
-    t_ok = jnp.where(ok, t, jnp.inf)
-    t_min_c = jnp.min(t_ok, axis=1, keepdims=True)           # (TILE, 1)
-    ids = jax.lax.broadcasted_iota(jnp.int32, t_ok.shape, 1)
-    big = jnp.int32(1 << 30)
-    is_min = (t_ok == t_min_c) & (t_min_c < jnp.inf)
-    arg = jnp.min(jnp.where(is_min, ids, big), axis=1, keepdims=True)
-    winner = is_min & (ids == arg)                            # unique lowest
-    sel = lambda a: jnp.max(jnp.where(winner, a, -jnp.inf), axis=1,
-                            keepdims=True)
-    better = t_min_c < cur_t
 
-    t_out[:] = jnp.where(better, t_min_c, cur_t)
-    pair_out[:] = jnp.where(better, cid * C + arg, cur_pair)
-    u_out[:] = jnp.where(better, sel(u), cur_u)
-    v_out[:] = jnp.where(better, sel(v), cur_v)
+    for s in range(SUB):
+        # Per-ray slab test against this sub-chunk's AABB; skip the whole
+        # matmul + epilogue when no ray in the tile can enter it.
+        lo = tmin
+        hi = cur_t
+        for a in range(3):
+            bmin_a = sub_ref[0, s * 6 + a]
+            bmax_a = sub_ref[0, s * 6 + 3 + a]
+            t0 = (bmin_a - o[:, a:a + 1]) * invd[:, a:a + 1]
+            t1 = (bmax_a - o[:, a:a + 1]) * invd[:, a:a + 1]
+            lo = jnp.maximum(lo, jnp.minimum(t0, t1))
+            hi = jnp.minimum(hi, jnp.maximum(t0, t1))
+        sub_live = jnp.any(lo <= hi)
+
+        def test_sub(cur, s=s):
+            cur_t, cur_pair, cur_u, cur_v = cur
+            q = jax.lax.dot_general(
+                phi, feats[:, s * 4 * CS:(s + 1) * 4 * CS],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_MATMUL_PRECISION)              # (TILE, 4CS)
+            det = q[:, 0 * CS:1 * CS]
+            udet = q[:, 1 * CS:2 * CS]
+            vdet = q[:, 2 * CS:3 * CS]
+            tdet = q[:, 3 * CS:4 * CS]
+            r = 1.0 / det
+            u = udet * r
+            v = vdet * r
+            t = tdet * r
+            ok = (u >= -e) & (u <= 1.0 + e) & (v >= -e) \
+                & (u + v <= 1.0 + e) & (t >= tmin) & (t <= cur_t)
+            t_ok = jnp.where(ok, t, jnp.inf)
+            t_min_c = jnp.min(t_ok, axis=1, keepdims=True)
+            ids = jax.lax.broadcasted_iota(jnp.int32, t_ok.shape, 1)
+            big = jnp.int32(1 << 30)
+            is_min = (t_ok == t_min_c) & (t_min_c < jnp.inf)
+            arg = jnp.min(jnp.where(is_min, ids, big), axis=1,
+                          keepdims=True)
+            winner = is_min & (ids == arg)
+            sel = lambda a_: jnp.max(jnp.where(winner, a_, -jnp.inf),
+                                     axis=1, keepdims=True)
+            better = t_min_c < cur_t
+            return (jnp.where(better, t_min_c, cur_t),
+                    jnp.where(better, cid * C + s * CS + arg, cur_pair),
+                    jnp.where(better, sel(u), cur_u),
+                    jnp.where(better, sel(v), cur_v))
+
+        cur_t, cur_pair, cur_u, cur_v = jax.lax.cond(
+            sub_live, test_sub, lambda cur: cur,
+            (cur_t, cur_pair, cur_u, cur_v))
+
+    t_out[:] = cur_t
+    pair_out[:] = cur_pair
+    u_out[:] = cur_u
+    v_out[:] = cur_v
 
 
 WORKLIST_CHUNK = 4096   # blocks per pallas_call: scalar-prefetch ids live
                         # in SMEM, so the id arrays must stay small.
 
 
-@partial(jax.jit, static_argnames=("TILE", "C", "n_blocks", "interpret"))
-def _run_worklist(tids, cids, phi, feats, tmin, best0, *, TILE: int, C: int,
-                  n_blocks: int, interpret: bool):
+@partial(jax.jit, static_argnames=("TILE", "C", "SUB", "n_blocks",
+                                   "interpret"))
+def _run_worklist(tids, cids, phi, feats, sub_bounds, tmin, best0, *,
+                  TILE: int, C: int, SUB: int, n_blocks: int,
+                  interpret: bool):
     """tids/cids: (n_blocks,) int32 sorted by tid (padding blocks point at
     the trailing dummy tile). phi: (n_tiles_p*TILE, 16). feats: (K, 16, 4C).
     tmin/best0: (n_tiles_p*TILE, 1). Returns (t, pair, u, v) flat rows.
@@ -112,7 +144,7 @@ def _run_worklist(tids, cids, phi, feats, tmin, best0, *, TILE: int, C: int,
     chunk boundaries merge correctly."""
     R = phi.shape[0]
     n_dummy_tile = R // TILE - 1
-    kernel = partial(_kernel, C=C, edge_eps=1e-5,
+    kernel = partial(_kernel, C=C, SUB=SUB, edge_eps=1e-5,
                      n_dummy_tile=n_dummy_tile)
     out_shapes = [
         jax.ShapeDtypeStruct((R, 1), jnp.float32),
@@ -136,6 +168,7 @@ def _run_worklist(tids, cids, phi, feats, tmin, best0, *, TILE: int, C: int,
             in_specs=[
                 pl.BlockSpec((TILE, FEAT), lambda b, t_, c: (t_[b], 0)),
                 pl.BlockSpec((1, FEAT, 4 * C), lambda b, t_, c: (c[b], 0, 0)),
+                pl.BlockSpec((1, SUB * 6), lambda b, t_, c: (c[b], 0)),
                 spec_tile, spec_tile, spec_tile, spec_tile, spec_tile,
             ],
             out_specs=[spec_tile] * 4,
@@ -144,10 +177,10 @@ def _run_worklist(tids, cids, phi, feats, tmin, best0, *, TILE: int, C: int,
         # tile is absent from this chunk keep their previous values.
         t, pair, u, v = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shapes,
-            input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+            input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
             interpret=interpret,
-        )(tids[lo:lo + sz], cids[lo:lo + sz], phi, feats, tmin,
-          t, pair, u, v)
+        )(tids[lo:lo + sz], cids[lo:lo + sz], phi, feats, sub_bounds,
+          tmin, t, pair, u, v)
     return t[:, 0], pair[:, 0], u[:, 0], v[:, 0]
 
 
@@ -279,7 +312,8 @@ def _pallas_query(scene, o, d, t_min, t_max,
     best0_p = jnp.concatenate([t_max, jnp.full((TILE,), -jnp.inf)])[:, None]
 
     t, pair, u, v = _run_worklist(tids, cids, phi_p, scene.tri_feats,
-                                  tmin_p, best0_p, TILE=TILE, C=C,
+                                  scene.sub_bounds, tmin_p, best0_p,
+                                  TILE=TILE, C=C, SUB=scene.sub_chunks,
                                   n_blocks=max_pairs, interpret=interpret)
     # Rows whose tile never appears in the worklist keep undefined
     # outputs; mask them via the entry matrix.
@@ -341,7 +375,8 @@ def _pallas_query2(scene, o, d, t_min, t_max,
     # Pass 1: nearest S1 clusters per tile (no sort, fixed count).
     tids1, cids1, entry_rest = _toppass_worklist(entry, S1)
     t, pair, u, v = _run_worklist(tids1, cids1, phi_p, scene.tri_feats,
-                                  tmin_p, best0, TILE=TILE, C=C,
+                                  scene.sub_bounds, tmin_p, best0,
+                                  TILE=TILE, C=C, SUB=scene.sub_chunks,
                                   n_blocks=int(tids1.shape[0]),
                                   interpret=interpret)
 
@@ -352,8 +387,9 @@ def _pallas_query2(scene, o, d, t_min, t_max,
                        jnp.inf)
     tids2, cids2, total2 = build_worklist(entry2, max_pairs)
     t2, pair2, u2, v2 = _run_worklist(
-        tids2, cids2, phi_p, scene.tri_feats, tmin_p, t[:, None],
-        TILE=TILE, C=C, n_blocks=max_pairs, interpret=interpret)
+        tids2, cids2, phi_p, scene.tri_feats, scene.sub_bounds, tmin_p,
+        t[:, None], TILE=TILE, C=C, SUB=scene.sub_chunks,
+        n_blocks=max_pairs, interpret=interpret)
     # Merge: pass 2 seeds its best_t from pass 1, so a pass-2 win has
     # strictly smaller t; keep pass-1 payload where pass 2 found nothing.
     better = t2 < t

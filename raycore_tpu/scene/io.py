@@ -56,9 +56,11 @@ def save_scene(path: str, scene) -> None:
         arrs = dict(
             kind=np.asarray("DenseScene"),
             tri_feats=scene.tri_feats, cluster_min=scene.cluster_min,
-            cluster_max=scene.cluster_max, prims_packed=scene.prims_packed,
+            cluster_max=scene.cluster_max, sub_bounds=scene.sub_bounds,
+            prims_packed=scene.prims_packed,
             root_aabb=scene.root_aabb,
-            statics=np.asarray([scene.n_prims, scene.cluster_size]),
+            statics=np.asarray([scene.n_prims, scene.cluster_size,
+                                scene.sub_chunks]),
             **_tri_arrays("prims_", scene.prims))
     else:
         raise TypeError(f"cannot serialize {type(scene)}")
@@ -92,8 +94,10 @@ def load_scene(path: str):
             tri_feats=jnp.asarray(z["tri_feats"]),
             cluster_min=jnp.asarray(z["cluster_min"]),
             cluster_max=jnp.asarray(z["cluster_max"]),
+            sub_bounds=jnp.asarray(z["sub_bounds"]),
             prims=_tri_from("prims_", z),
             prims_packed=jnp.asarray(z["prims_packed"]),
             root_aabb=jnp.asarray(z["root_aabb"]),
-            n_prims=int(s[0]), cluster_size=int(s[1]))
+            n_prims=int(s[0]), cluster_size=int(s[1]),
+            sub_chunks=int(s[2]) if len(s) > 2 else 4)
     raise ValueError(f"unknown scene kind {kind!r}")
