@@ -58,7 +58,8 @@ class DenseScene:
     tri_feats: jnp.ndarray     # (K, FEAT, 4*C) float32, sub-chunk-major
     cluster_min: jnp.ndarray   # (K, 3)
     cluster_max: jnp.ndarray   # (K, 3)
-    sub_bounds: jnp.ndarray    # (K, SUB*6) f32: per sub [min xyz, max xyz]
+    sub_bounds: jnp.ndarray    # (K, 1, 128) f32; cols [s*6:(s+1)*6] hold
+                               # sub-chunk s's [min xyz, max xyz]
     prims: Triangle            # (K*C, ...) sorted order (cluster-major)
     prims_packed: jnp.ndarray  # (K*C, 40) f32: v(9) n(9) tg(9) uv(6) meta pad
     root_aabb: jnp.ndarray     # (2, 3)
@@ -151,7 +152,11 @@ def _build_dense(sorted_tris: Triangle, cluster_size: int,
     vk = v.reshape(K, SUB, CS, 3, 3)
     smin = jnp.min(vk, axis=(2, 3))                # (K, SUB, 3)
     smax = jnp.max(vk, axis=(2, 3))
-    sub_bounds = jnp.concatenate([smin, smax], axis=2).reshape(K, SUB * 6)
+    sb = jnp.concatenate([smin, smax], axis=2).reshape(K, SUB * 6)
+    # (K, 1, 128) padded layout: Pallas TPU block shapes need the trailing
+    # dims to be (1, 128)-tileable.
+    sub_bounds = jnp.zeros((K, 1, 128), jnp.float32) \
+        .at[:, 0, : SUB * 6].set(sb)
     cmin = jnp.min(smin, axis=1)
     cmax = jnp.max(smax, axis=1)
     root = jnp.stack([jnp.min(cmin, 0), jnp.max(cmax, 0)])

@@ -75,8 +75,8 @@ def _kernel_body(cids_ref, phi_ref, feats_ref, sub_ref, tmin_ref, t0_ref,
         lo = tmin
         hi = cur_t
         for a in range(3):
-            bmin_a = sub_ref[0, s * 6 + a]
-            bmax_a = sub_ref[0, s * 6 + 3 + a]
+            bmin_a = sub_ref[0, 0, s * 6 + a]
+            bmax_a = sub_ref[0, 0, s * 6 + 3 + a]
             t0 = (bmin_a - o[:, a:a + 1]) * invd[:, a:a + 1]
             t1 = (bmax_a - o[:, a:a + 1]) * invd[:, a:a + 1]
             lo = jnp.maximum(lo, jnp.minimum(t0, t1))
@@ -168,7 +168,7 @@ def _run_worklist(tids, cids, phi, feats, sub_bounds, tmin, best0, *,
             in_specs=[
                 pl.BlockSpec((TILE, FEAT), lambda b, t_, c: (t_[b], 0)),
                 pl.BlockSpec((1, FEAT, 4 * C), lambda b, t_, c: (c[b], 0, 0)),
-                pl.BlockSpec((1, SUB * 6), lambda b, t_, c: (c[b], 0)),
+                pl.BlockSpec((1, 1, 128), lambda b, t_, c: (c[b], 0, 0)),
                 spec_tile, spec_tile, spec_tile, spec_tile, spec_tile,
             ],
             out_specs=[spec_tile] * 4,
