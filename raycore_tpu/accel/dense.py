@@ -137,7 +137,7 @@ def ray_features(o, d):
 
 @partial(jax.jit, static_argnames=("cluster_size", "sub_chunks"))
 def _build_dense(sorted_tris: Triangle, cluster_size: int,
-                 sub_chunks: int = 4) -> DenseScene:
+                 sub_chunks: int = 1) -> DenseScene:
     v = sorted_tris.vertices                       # (T, 3, 3), T = K*C
     T = v.shape[0]
     C = cluster_size
@@ -168,7 +168,7 @@ def _build_dense(sorted_tris: Triangle, cluster_size: int,
 
 
 def build_dense(tris: Triangle, cluster_size: int = 256,
-                sub_chunks: int = 4) -> DenseScene:
+                sub_chunks: int = 1) -> DenseScene:
     """Cluster + featurize a triangle soup. Triangles are Morton-sorted
     first (clusters must be spatially coherent); capacity pads to a
     multiple of cluster_size with far-away sentinels."""

@@ -116,9 +116,15 @@ def _kernel_body(cids_ref, phi_ref, feats_ref, sub_ref, tmin_ref, t0_ref,
                     jnp.where(better, sel(u), cur_u),
                     jnp.where(better, sel(v), cur_v))
 
-        cur_t, cur_pair, cur_u, cur_v = jax.lax.cond(
-            sub_live, test_sub, lambda cur: cur,
-            (cur_t, cur_pair, cur_u, cur_v))
+        if SUB == 1:
+            # Single chunk: the cluster-level interval test already
+            # qualified this block — skip the cond/slab machinery.
+            cur_t, cur_pair, cur_u, cur_v = test_sub(
+                (cur_t, cur_pair, cur_u, cur_v))
+        else:
+            cur_t, cur_pair, cur_u, cur_v = jax.lax.cond(
+                sub_live, test_sub, lambda cur: cur,
+                (cur_t, cur_pair, cur_u, cur_v))
 
     t_out[:] = cur_t
     pair_out[:] = cur_pair
