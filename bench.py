@@ -73,10 +73,11 @@ def main():
     rays = rc.Ray.create(o=o, d=d)
 
     if engine == "dense_pallas":
-        cap = int(os.environ.get("RAYCORE_BENCH_CAP", 24))
+        cap = int(os.environ.get("RAYCORE_BENCH_CAP", 40))
+        passes = int(os.environ.get("RAYCORE_BENCH_PASSES", 1))
         run = lambda: closest_hit_dense_pallas(
             scene, rays, tile=tile, max_pairs_per_tile=cap,
-            check_overflow=False)
+            check_overflow=False, passes=passes)
     elif engine == "dense":
         run = lambda: closest_hit_dense(scene, rays, tile=tile,
                                         select_per_round=select)
