@@ -63,7 +63,7 @@ def main():
     o = jnp.stack([X, Y, jnp.full_like(X, 3.0)], -1)
     # Blocked (square-tile) ray order: a dense-engine tile must be a
     # spatially compact pixel block, not a scanline strip.
-    B = 64
+    B = int(os.environ.get("RAYCORE_BENCH_BLOCK", 16))
     if side % B == 0:
         o = o.reshape(side // B, B, side // B, B, 3) \
              .transpose(0, 2, 1, 3, 4).reshape(-1, 3)
