@@ -20,13 +20,16 @@ Scheme (single geometry, world space):
   cluster block are ONE fp32 matmul on the MXU.
 
   Query: rays are processed in coherent tiles.
-  Phase A: dense slab tests rays x cluster-AABBs, streamed into a small
-  per-tile (n_tiles, K) min-entry matrix.
+  Phase A: per-tile interval arithmetic (conservative ray-bundle vs AABB)
+  produces an (n_tiles, K) entry-lower-bound matrix for a few dozen ops
+  per pair — no per-ray sweep at all.
   Phase B rounds: each round selects the S untested clusters with the
-  smallest entry per tile, fetches their feature blocks (one big-row
-  gather per step), runs the matmul + epilogue, and updates per-ray bests.
-  Rounds repeat until no untested cluster could beat any ray's best
+  smallest entry per tile, fetches their feature blocks, runs the fused
+  matmul + epilogue over tile groups, and updates per-ray bests. Rounds
+  repeat until no untested cluster could beat any ray's best
   (conservative per-tile bound => exact closest-hit results).
+  The Pallas worklist kernel (ops/pallas_dense.py) is the faster
+  production variant of phase B.
 
 Möller–Trumbore semantics match `fast_intersect_triangle` exactly
 (reciprocal-of-det with inf/NaN rejection on degenerate dets).

@@ -11,9 +11,10 @@ Möller–Trumbore epilogue on the VPU, and min-merges into per-ray best
 buffers. Consecutive blocks of the same tile keep the output block
 resident in VMEM (Pallas revisiting), so the merge is register-speed.
 
-Pair payload packing: best_t is f32; (pair_idx, u, v) are merged via a
-second pass that recomputes the winning cluster — instead the kernel
-writes argmin data directly under a `better` mask.
+The kernel carries four per-ray best buffers (t, packed prim index, u, v)
+merged under a `better` mask; long worklists chain bounded pallas_calls
+with `input_output_aliases` so carried bests survive chunk boundaries
+(scalar-prefetch id arrays live in SMEM and must stay small).
 """
 from __future__ import annotations
 
