@@ -74,6 +74,7 @@ from .analysis.collision import (CollisionResult, collide_instances,
 from .render.wavefront import (WavefrontRenderer, RenderConfig, Materials,
                                PointLights, Camera, render_step)
 from .render.scenes import example_scene, particle_scene
+from .render.pathtracer import PTConfig, trace_paths
 from .utils.soa import (soa_get, soa_set, similar_soa, for_unrolled,
                         map_unrolled, reduce_unrolled, sum_unrolled,
                         switch_apply)

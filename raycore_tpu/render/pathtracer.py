@@ -1,0 +1,166 @@
+"""Multi-bounce wavefront path tracer with ray compaction.
+
+The BASELINE "full tutorial path tracer" configuration: N-bounce wavefront
+over SoA queues with compaction between bounces, next-event estimation
+(one shadow ray per bounce), diffuse/metallic materials with optional
+textured albedo from the flat TexturePool, explicit PRNG keys.
+
+TPU-native structure: one jit per frame; every bounce is
+  trace -> shade/NEE -> sample BRDF -> compact (sort by alive mask)
+and dead lanes cluster into tiles that retire immediately in the
+underlying engines (the compaction the reference's dense queues lack,
+SURVEY.md §2.6).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.ray import Ray
+from ..core.sampling import cosine_sample_hemisphere, reflect
+from ..accel import dispatch as _disp
+from ..collections.multitypeset import TexturePool, sample_nearest
+from .wavefront import (Camera, Materials, PointLights, RenderConfig,
+                        generate_primary_rays)
+
+
+@struct.dataclass
+class PTConfig:
+    width: int = struct.field(pytree_node=False, default=256)
+    height: int = struct.field(pytree_node=False, default=256)
+    spp: int = struct.field(pytree_node=False, default=1)
+    bounces: int = struct.field(pytree_node=False, default=4)
+    tile_size: int = struct.field(pytree_node=False, default=2048)
+    eps: float = struct.field(pytree_node=False, default=1e-3)
+    background: tuple = struct.field(pytree_node=False,
+                                     default=(0.03, 0.04, 0.07))
+    compact: bool = struct.field(pytree_node=False, default=True)
+
+
+def _shading_basis(n):
+    """Orthonormal frame with n as +z (branch-free)."""
+    s = jnp.where(n[:, 2:3] >= 0, 1.0, -1.0)
+    a = -1.0 / (s + n[:, 2:3])
+    b = n[:, 0:1] * n[:, 1:2] * a
+    t1 = jnp.concatenate([1.0 + s * n[:, 0:1] ** 2 * a, s * b,
+                          -s * n[:, 0:1]], axis=1)
+    t2 = jnp.concatenate([b, s + n[:, 1:2] ** 2 * a, -n[:, 1:2]], axis=1)
+    return t1, t2
+
+
+def _albedo(materials: Materials, pool, tex_refs, mi, uv):
+    base = jnp.take(materials.base_color, mi, axis=0)
+    if pool is None or tex_refs is None:
+        return base
+    ref = jnp.take(tex_refs, mi, axis=0)
+    texel = sample_nearest(pool, jnp.maximum(ref, 0), uv)[:, :3]
+    return jnp.where((ref >= 0)[:, None], texel, base)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def trace_paths(scene, materials: Materials, lights: PointLights,
+                cam: Camera, key, cfg: PTConfig, pool: TexturePool = None,
+                tex_refs=None):
+    """One frame of N-bounce path tracing -> (H, W, 3)."""
+    H, W, spp, B = cfg.height, cfg.width, cfg.spp, cfg.bounces
+    R = H * W * spp
+    bg = jnp.asarray(cfg.background, jnp.float32)
+    n_lights = lights.position.shape[0]
+
+    key, kp = jax.random.split(key)
+    rays = generate_primary_rays(cam, W, H, spp, kp)
+    o, d = rays.o, rays.d
+    throughput = jnp.ones((R, 3), jnp.float32)
+    radiance = jnp.zeros((R, 3), jnp.float32)
+    alive = jnp.ones((R,), bool)
+    order_acc = jnp.arange(R)      # composition of compaction permutations
+
+    for bounce in range(B):
+        key, k_l, k_b, k_r = jax.random.split(key, 4)
+        # Per-path-deterministic randomness: draw in ORIGINAL path order and
+        # permute by the carried compaction index, so results are identical
+        # with and without compaction.
+        perm = order_acc
+        u_l = jax.random.randint(k_l, (R,), 0, n_lights)[perm]
+        u_b = jax.random.uniform(k_b, (R, 3))[perm]
+        u_r = jax.random.normal(k_r, (R, 3))[perm]
+        res = _disp.scene_closest_hit(
+            scene, Ray.create(o=o, d=d,
+                              t_max=jnp.where(alive, jnp.inf, -1.0)),
+            tile_size=cfg.tile_size)
+        hit = res.hit & alive
+        tri = res.triangle
+        p = jnp.einsum("rk,rkc->rc", res.barycentric, tri.vertices)
+        n = jnp.einsum("rk,rkc->rc", res.barycentric, tri.normals)
+        ln = jnp.linalg.norm(n, axis=-1, keepdims=True)
+        n = jnp.where(ln > 1e-8, n / jnp.where(ln > 0, ln, 1.0), 0.0)
+        n = jnp.where(jnp.sum(n * d, -1, keepdims=True) > 0, -n, n)
+        uv_hit = jnp.einsum("rk,rku->ru", res.barycentric, tri.uv)
+
+        # Escaped rays pick up the environment once.
+        radiance = radiance + jnp.where((alive & ~res.hit)[:, None],
+                                        throughput * bg, 0.0)
+
+        mi = jnp.clip(tri.metadata.astype(jnp.int32), 0,
+                      materials.base_color.shape[0] - 1)
+        base = _albedo(materials, pool, tex_refs, mi, uv_hit)
+        metal = jnp.take(materials.metallic, mi, axis=0)
+        rough = jnp.take(materials.roughness, mi, axis=0)
+
+        # Next-event estimation: one random light per path.
+        li = u_l
+        lp = jnp.take(lights.position, li, axis=0)
+        lint = jnp.take(lights.intensity, li, axis=0)
+        to_l = lp - p
+        dist = jnp.linalg.norm(to_l, axis=-1)
+        wi = to_l / jnp.maximum(dist[:, None], 1e-12)
+        occ = _disp.scene_any_hit(
+            scene, Ray.create(o=p + n * cfg.eps, d=wi,
+                              t_max=jnp.where(hit, dist - 2 * cfg.eps, -1.0)),
+            tile_size=cfg.tile_size).hit
+        ndotl = jnp.maximum(jnp.sum(n * wi, -1), 0.0)
+        # Diffuse lobe only for NEE (mirror handled by bounce).
+        f_d = base / jnp.pi * (1.0 - metal)[:, None]
+        contrib = f_d * lint * (ndotl * (~occ) * float(n_lights)
+                                / jnp.maximum(dist ** 2, 1e-12))[:, None]
+        radiance = radiance + jnp.where(hit[:, None],
+                                        throughput * contrib, 0.0)
+
+        if bounce == B - 1:
+            break
+
+        # BRDF sample: mirror with prob = metallic, else cosine diffuse.
+        u = u_b
+        pick_spec = u[:, 0] < metal
+        t1, t2 = _shading_basis(n)
+        local = cosine_sample_hemisphere(u[:, 1:3])
+        d_diff = (t1 * local[:, 0:1] + t2 * local[:, 1:2] + n * local[:, 2:3])
+        d_spec = reflect(-d, n)
+        jitter = u_r * rough[:, None] * 0.25
+        d_spec = d_spec + jitter
+        d_spec = d_spec / jnp.maximum(
+            jnp.linalg.norm(d_spec, -1, keepdims=True), 1e-12)
+        new_d = jnp.where(pick_spec[:, None], d_spec, d_diff)
+        # Throughput: diffuse cosine sampling cancels cos/pdf -> albedo;
+        # mirror reflects with base tint.
+        throughput = throughput * jnp.where(pick_spec[:, None], base, base)
+        o = p + n * cfg.eps
+        d = new_d
+        alive = hit
+
+        if cfg.compact:
+            order = jnp.argsort(~alive, stable=True)
+            o, d = o[order], d[order]
+            throughput = throughput[order]
+            radiance = radiance[order]
+            alive = alive[order]
+            order_acc = order_acc[order]
+
+    # Undo the accumulated compaction permutation.
+    inv = jnp.argsort(order_acc)
+    radiance = radiance[inv]
+    img = radiance.reshape(H, W, spp, 3).mean(axis=2)
+    return jnp.clip(img, 0.0, 1.0)

@@ -1,0 +1,77 @@
+"""Multi-bounce path tracer tests (BASELINE config #5 shape)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import raycore_tpu as rc
+from raycore_tpu.render.pathtracer import PTConfig, trace_paths
+from raycore_tpu.render.scenes import example_scene
+from raycore_tpu.collections.multitypeset import MultiTypeSet
+
+
+@pytest.fixture(scope="module")
+def room():
+    return example_scene()
+
+
+def test_pathtracer_smoke(room):
+    scene, mats, lights, cam = room
+    img = np.asarray(trace_paths(scene, mats, lights, cam,
+                                 jax.random.PRNGKey(0),
+                                 PTConfig(width=48, height=32, spp=2,
+                                          bounces=3, tile_size=512)))
+    assert img.shape == (32, 48, 3)
+    assert np.all((img >= 0) & (img <= 1))
+    assert img.std() > 0.02
+    assert img.mean() > 0.01
+
+
+def test_more_bounces_add_light(room):
+    scene, mats, lights, cam = room
+    mk = lambda b: np.asarray(trace_paths(
+        scene, mats, lights, cam, jax.random.PRNGKey(1),
+        PTConfig(width=40, height=30, spp=2, bounces=b, tile_size=512)))
+    img1 = mk(1)
+    img4 = mk(4)
+    # Indirect light only adds energy.
+    assert img4.mean() >= img1.mean() - 1e-4
+    assert img4.mean() > img1.mean() * 1.001
+
+
+def test_compaction_does_not_change_image(room):
+    scene, mats, lights, cam = room
+    a = np.asarray(trace_paths(scene, mats, lights, cam,
+                               jax.random.PRNGKey(2),
+                               PTConfig(width=32, height=24, spp=1,
+                                        bounces=3, tile_size=256,
+                                        compact=True)))
+    b = np.asarray(trace_paths(scene, mats, lights, cam,
+                               jax.random.PRNGKey(2),
+                               PTConfig(width=32, height=24, spp=1,
+                                        bounces=3, tile_size=256,
+                                        compact=False)))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_textured_albedo(room):
+    scene, mats, lights, cam = room
+    s = MultiTypeSet()
+    checker = np.indices((8, 8)).sum(0) % 2
+    tex = np.stack([checker, 1 - checker, np.ones_like(checker)], -1) \
+        .astype(np.float32)
+    h = s.store_texture(tex)
+    pool = s.get_static().textures
+    n_mats = mats.base_color.shape[0]
+    tex_refs = jnp.full((n_mats,), -1, jnp.int32).at[0].set(h)  # floor only
+    img_t = np.asarray(trace_paths(scene, mats, lights, cam,
+                                   jax.random.PRNGKey(3),
+                                   PTConfig(width=48, height=32, spp=1,
+                                            bounces=1, tile_size=512),
+                                   pool=pool, tex_refs=tex_refs))
+    img_p = np.asarray(trace_paths(scene, mats, lights, cam,
+                                   jax.random.PRNGKey(3),
+                                   PTConfig(width=48, height=32, spp=1,
+                                            bounces=1, tile_size=512)))
+    # Textured floor changes pixels vs the plain material.
+    assert np.abs(img_t - img_p).max() > 0.02
