@@ -152,7 +152,21 @@ def trace_paths(scene, materials: Materials, lights: PointLights,
         alive = hit
 
         if cfg.compact:
-            order = jnp.argsort(~alive, stable=True)
+            # Compact AND re-coherence: dead lanes last; live lanes grouped
+            # by direction octant then origin Morton code, so the dense
+            # engine's per-tile interval culling stays tight for secondary
+            # bounces (incoherent tiles collapse its pruning).
+            from ..accel.morton import morton_code_30bit
+            lo_w = scene.root_aabb[0]
+            ext_w = jnp.maximum(scene.root_aabb[1] - lo_w, 1e-12)
+            code = morton_code_30bit(
+                jnp.clip((o - lo_w) / ext_w, 0.0, 1.0))
+            octant = ((d[:, 0] > 0).astype(jnp.uint32)
+                      | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
+                      | ((d[:, 2] > 0).astype(jnp.uint32) << 2))
+            key_sort = ((~alive).astype(jnp.uint32) << 31) \
+                | (octant << 28) | (code >> 3)
+            order = jnp.argsort(key_sort)
             o, d = o[order], d[order]
             throughput = throughput[order]
             radiance = radiance[order]
