@@ -22,21 +22,26 @@ from .types import StaticTLAS
 from . import traversal as _trav
 
 
-def _dense_caps(scene: DenseScene):
-    """Worklist capacity: exact (never overflows) when the cluster count is
-    small; otherwise a generous cap — callers with huge scenes should size
-    explicitly via the engine API."""
-    K = scene.n_clusters
-    return K if K <= 128 else 64
+def _tracing(x):
+    return isinstance(x, jax.core.Tracer)
+
+
+def _dense_query(scene, rays, tile_size):
+    tile = min(512, max(tile_size, 8))
+    if _tracing(rays.o):
+        # Inside someone's jit: the auto-sized variant's host sync cannot
+        # run; use the trace-safe nearest-cap query (exact for scenes with
+        # <= cap clusters).
+        from ..ops.pallas_dense import closest_hit_dense_pallas_topk
+        return closest_hit_dense_pallas_topk(scene, rays, tile=tile,
+                                             cap=48)
+    from ..ops.pallas_dense import closest_hit_dense_pallas_auto
+    return closest_hit_dense_pallas_auto(scene, rays, tile=tile)
 
 
 def scene_closest_hit(scene, rays, *, tile_size: int = 16384) -> HitResult:
     if isinstance(scene, DenseScene):
-        from ..ops.pallas_dense import closest_hit_dense_pallas
-        return closest_hit_dense_pallas(
-            scene, rays, tile=min(1024, max(tile_size, 8)),
-            max_pairs_per_tile=_dense_caps(scene), passes=1,
-            check_overflow=False)
+        return _dense_query(scene, rays, tile_size)
     return _trav.closest_hit(scene, rays, tile_size=tile_size)
 
 
@@ -44,11 +49,7 @@ def scene_any_hit(scene, rays, *, tile_size: int = 16384) -> HitResult:
     if isinstance(scene, DenseScene):
         import jax.numpy as jnp
         rays0 = rays.replace(t_min=jnp.zeros_like(rays.t_min))
-        from ..ops.pallas_dense import closest_hit_dense_pallas
-        return closest_hit_dense_pallas(
-            scene, rays0, tile=min(1024, max(tile_size, 8)),
-            max_pairs_per_tile=_dense_caps(scene), passes=1,
-            check_overflow=False)
+        return _dense_query(scene, rays0, tile_size)
     return _trav.any_hit(scene, rays, tile_size=tile_size)
 
 

@@ -409,6 +409,137 @@ def _pallas_query2(scene, o, d, t_min, t_max,
     return res, total2
 
 
+@partial(jax.jit, static_argnames=("TILE", "max_pairs", "interpret"))
+def _phase_a_and_worklist(scene, o, d, t_min, t_max, *, TILE: int,
+                          max_pairs: int, interpret: bool):
+    """First half of the query: pad, interval phase A, worklist build.
+    Split out so the host can read the true pair count and size the kernel
+    grid to it (pow2-bucketed) instead of paying for worst-case capacity."""
+    from ..accel.dense import ray_features
+    R0 = o.shape[0]
+    d = jnp.where(d == 0.0, 0.0, d)
+    pad0 = (-R0) % TILE
+    if pad0:
+        ext = lambda a, f: jnp.concatenate(
+            [a, jnp.full((pad0,) + a.shape[1:], f, a.dtype)])
+        o, d = ext(o, 0.0), ext(d, 1.0)
+        t_min, t_max = ext(t_min, 0.0), ext(t_max, -jnp.inf)
+    R = o.shape[0]
+    n_tiles = R // TILE
+    entry = phase_a_entry(scene, o, d, t_min, t_max, n_tiles, TILE,
+                          interpret)
+    tids, cids, total = build_worklist(entry, max_pairs)
+    phi = ray_features(o, d)
+    phi_p = jnp.concatenate([phi, jnp.zeros((TILE, FEAT), jnp.float32)])
+    tmin_p = jnp.concatenate([t_min, jnp.zeros((TILE,))])[:, None]
+    best0_p = jnp.concatenate([t_max, jnp.full((TILE,), -jnp.inf)])[:, None]
+    touched = jnp.any(jnp.isfinite(entry), axis=1)
+    return tids, cids, total, phi_p, tmin_p, best0_p, touched
+
+
+@partial(jax.jit, static_argnames=("TILE", "n_blocks", "interpret"))
+def _sweep_and_finalize(scene, tids, cids, phi_p, tmin_p, best0_p, touched,
+                        *, TILE: int, n_blocks: int, interpret: bool):
+    from ..accel.dense import finalize_hits
+    C = scene.cluster_size
+    R0p = phi_p.shape[0] - TILE
+    t, pair, u, v = _run_worklist(tids[:n_blocks], cids[:n_blocks], phi_p,
+                                  scene.tri_feats, scene.sub_bounds, tmin_p,
+                                  best0_p, TILE=TILE, C=C,
+                                  SUB=scene.sub_chunks, n_blocks=n_blocks,
+                                  interpret=interpret)
+    touched_r = jnp.repeat(touched, TILE)
+    touched_r = jnp.concatenate([touched_r, jnp.zeros((TILE,), bool)])
+    t = jnp.where(touched_r, t, jnp.inf)
+    pair = jnp.where(touched_r, pair, -1)
+    return finalize_hits(scene, pair[:R0p], t[:R0p], u[:R0p], v[:R0p])
+
+
+@partial(jax.jit, static_argnames=("TILE", "cap", "interpret"))
+def _topk_query(scene, o, d, t_min, t_max, *, TILE: int, cap: int,
+                interpret: bool):
+    from ..accel.dense import ray_features, finalize_hits
+    C = scene.cluster_size
+    R0 = o.shape[0]
+    d = jnp.where(d == 0.0, 0.0, d)
+    pad0 = (-R0) % TILE
+    if pad0:
+        ext = lambda a, f: jnp.concatenate(
+            [a, jnp.full((pad0,) + a.shape[1:], f, a.dtype)])
+        o, d = ext(o, 0.0), ext(d, 1.0)
+        t_min, t_max = ext(t_min, 0.0), ext(t_max, -jnp.inf)
+    R = o.shape[0]
+    n_tiles = R // TILE
+    entry = phase_a_entry(scene, o, d, t_min, t_max, n_tiles, TILE,
+                          interpret)
+    tids, cids, _rest = _toppass_worklist(entry, cap)
+
+    phi = ray_features(o, d)
+    phi_p = jnp.concatenate([phi, jnp.zeros((TILE, FEAT), jnp.float32)])
+    tmin_p = jnp.concatenate([t_min, jnp.zeros((TILE,))])[:, None]
+    best0_p = jnp.concatenate([t_max, jnp.full((TILE,), -jnp.inf)])[:, None]
+    t, pair, u, v = _run_worklist(tids, cids, phi_p, scene.tri_feats,
+                                  scene.sub_bounds, tmin_p, best0_p,
+                                  TILE=TILE, C=C, SUB=scene.sub_chunks,
+                                  n_blocks=int(tids.shape[0]),
+                                  interpret=interpret)
+    touched = jnp.repeat(jnp.any(jnp.isfinite(entry), axis=1), TILE)
+    touched = jnp.concatenate([touched, jnp.zeros((TILE,), bool)])
+    t = jnp.where(touched, t, jnp.inf)
+    pair = jnp.where(touched, pair, -1)
+    return finalize_hits(scene, pair[:R0], t[:R0], u[:R0], v[:R0])
+
+
+def closest_hit_dense_pallas_topk(scene, rays, *, tile: int = 512,
+                                  cap: int = 48):
+    """Trace-safe fixed-capacity query: each tile tests its nearest
+    ``cap`` candidate clusters. EXACT whenever the scene has <= cap
+    clusters (or no tile exceeds cap candidates); otherwise a principled
+    nearest-first approximation with uniform per-tile behavior. This is
+    the variant jitted pipelines (renderers) dispatch to — the auto-sized
+    variant needs a host sync that cannot run under tracing."""
+    batch = rays.batch_shape
+    flat = lambda a: a.reshape((-1,) + a.shape[len(batch):])
+    o = flat(rays.o)
+    R = o.shape[0]
+    TILE = min(tile, max(R, 8))
+    cap = min(cap, scene.n_clusters)
+    interpret = jax.default_backend() != "tpu"
+    res = _topk_query(scene, o, flat(rays.d), flat(rays.t_min),
+                      flat(rays.t_max), TILE=TILE, cap=cap,
+                      interpret=interpret)
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape(batch + a.shape[1:]), res)
+
+
+def closest_hit_dense_pallas_auto(scene, rays, *, tile: int = 512):
+    """Closest hit with an auto-sized worklist: one host sync reads the
+    true pair count and buckets the kernel grid to the next power of two,
+    so sparse queries don't pay worst-case capacity and dense ones never
+    overflow. The production entry point for renderers (see
+    accel/dispatch.py)."""
+    interpret = jax.default_backend() != "tpu"
+    batch = rays.batch_shape
+    flat = lambda a: a.reshape((-1,) + a.shape[len(batch):])
+    o = flat(rays.o)
+    R = o.shape[0]
+    TILE = min(tile, max(R, 8))
+    n_tiles = -(-R // TILE)
+    hard = n_tiles * scene.n_clusters
+    out = _phase_a_and_worklist(scene, o, flat(rays.d), flat(rays.t_min),
+                                flat(rays.t_max), TILE=TILE, max_pairs=hard,
+                                interpret=interpret)
+    tids, cids, total, phi_p, tmin_p, best0_p, touched = out
+    nb = int(total)                         # the one host sync
+    nb = 1 << max(9, (max(nb, 1) - 1).bit_length())   # pow2, >= 512
+    nb = min(nb, hard)
+    res = _sweep_and_finalize(scene, tids, cids, phi_p, tmin_p, best0_p,
+                              touched, TILE=TILE, n_blocks=nb,
+                              interpret=interpret)
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape(batch + a.shape[1:]), res)
+
+
 def closest_hit_dense_pallas(scene, rays, *, tile: int = 256,
                              max_pairs_per_tile: int = 24,
                              interpret=None, check_overflow: bool = True,
