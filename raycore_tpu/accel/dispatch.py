@@ -27,16 +27,19 @@ def _tracing(x):
 
 
 def _dense_query(scene, rays, tile_size):
-    tile = min(512, max(tile_size, 8))
     if _tracing(rays.o):
-        # Inside someone's jit: the auto-sized variant's host sync cannot
-        # run; use the trace-safe nearest-cap query (exact for scenes with
-        # <= cap clusters).
-        from ..ops.pallas_dense import closest_hit_dense_pallas_topk
-        return closest_hit_dense_pallas_topk(scene, rays, tile=tile,
-                                             cap=48)
+        # Inside someone's jit the auto-sized worklist's host sync cannot
+        # run. The XLA rounds engine is the best all-rounder there: for
+        # coherent bundles it converges in a couple of rounds (1.6 ms
+        # full wavefront frames on the room scene); pipelines with many
+        # incoherent escaping rays should use the staged drivers that
+        # call the auto-sized Pallas engine between jitted stages
+        # (render/pathtracer.trace_paths_staged).
+        return closest_hit_dense(scene, rays,
+                                 tile=min(2048, max(tile_size, 8)))
     from ..ops.pallas_dense import closest_hit_dense_pallas_auto
-    return closest_hit_dense_pallas_auto(scene, rays, tile=tile)
+    return closest_hit_dense_pallas_auto(scene, rays,
+                                         tile=min(512, max(tile_size, 8)))
 
 
 def scene_closest_hit(scene, rays, *, tile_size: int = 16384) -> HitResult:

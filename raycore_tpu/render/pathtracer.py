@@ -178,3 +178,127 @@ def trace_paths(scene, materials: Materials, lights: PointLights,
     radiance = radiance[inv]
     img = radiance.reshape(H, W, spp, 3).mean(axis=2)
     return jnp.clip(img, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Staged (host-orchestrated) driver
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=())
+def _pt_prep_nee(res_hit, res_bary, res_verts, res_norms, res_uv, res_meta,
+                 d, alive, materials, lights, u_l, eps, pool, tex_refs):
+    """After closest-hit: surface frame + NEE shadow-ray setup."""
+    hit = res_hit & alive
+    p = jnp.einsum("rk,rkc->rc", res_bary, res_verts)
+    n = jnp.einsum("rk,rkc->rc", res_bary, res_norms)
+    ln = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = jnp.where(ln > 1e-8, n / jnp.where(ln > 0, ln, 1.0), 0.0)
+    n = jnp.where(jnp.sum(n * d, -1, keepdims=True) > 0, -n, n)
+    uv_hit = jnp.einsum("rk,rku->ru", res_bary, res_uv)
+    mi = jnp.clip(res_meta.astype(jnp.int32), 0,
+                  materials.base_color.shape[0] - 1)
+    base = _albedo(materials, pool, tex_refs, mi, uv_hit)
+    lp = jnp.take(lights.position, u_l, axis=0)
+    to_l = lp - p
+    dist = jnp.linalg.norm(to_l, axis=-1)
+    wi = to_l / jnp.maximum(dist[:, None], 1e-12)
+    so = p + n * eps
+    st = jnp.where(hit, dist - 2 * eps, -1.0)
+    return hit, p, n, base, mi, wi, dist, so, st
+
+
+@partial(jax.jit, static_argnames=("n_lights", "last"))
+def _pt_shade_and_sample(hit, res_hit, p, n, base, mi, wi, dist, occ_hit,
+                         o, d, throughput, radiance, alive, order_acc,
+                         materials, lights, u_l, u_b, u_r, root_aabb,
+                         bg, eps, *, n_lights: int, last: bool):
+    """NEE shading, BRDF sampling, and coherence-sorting compaction."""
+    from ..accel.morton import morton_code_30bit
+    radiance = radiance + jnp.where((alive & ~res_hit)[:, None],
+                                    throughput * bg, 0.0)
+    metal = jnp.take(materials.metallic, mi, axis=0)
+    rough = jnp.take(materials.roughness, mi, axis=0)
+    lint = jnp.take(lights.intensity, u_l, axis=0)
+    ndotl = jnp.maximum(jnp.sum(n * wi, -1), 0.0)
+    f_d = base / jnp.pi * (1.0 - metal)[:, None]
+    contrib = f_d * lint * (ndotl * (~occ_hit) * float(n_lights)
+                            / jnp.maximum(dist ** 2, 1e-12))[:, None]
+    radiance = radiance + jnp.where(hit[:, None], throughput * contrib, 0.0)
+    if last:
+        return o, d, throughput, radiance, alive, order_acc
+
+    pick_spec = u_b[:, 0] < metal
+    t1, t2 = _shading_basis(n)
+    local = cosine_sample_hemisphere(u_b[:, 1:3])
+    d_diff = t1 * local[:, 0:1] + t2 * local[:, 1:2] + n * local[:, 2:3]
+    d_spec = reflect(-d, n) + u_r * rough[:, None] * 0.25
+    d_spec = d_spec / jnp.maximum(
+        jnp.linalg.norm(d_spec, -1, keepdims=True), 1e-12)
+    new_d = jnp.where(pick_spec[:, None], d_spec, d_diff)
+    throughput = throughput * base
+    o = p + n * eps
+    d = new_d
+    alive = hit
+
+    lo_w = root_aabb[0]
+    ext_w = jnp.maximum(root_aabb[1] - lo_w, 1e-12)
+    code = morton_code_30bit(jnp.clip((o - lo_w) / ext_w, 0.0, 1.0))
+    octant = ((d[:, 0] > 0).astype(jnp.uint32)
+              | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
+              | ((d[:, 2] > 0).astype(jnp.uint32) << 2))
+    key_sort = ((~alive).astype(jnp.uint32) << 31) | (octant << 28) \
+        | (code >> 3)
+    order = jnp.argsort(key_sort)
+    return (o[order], d[order], throughput[order], radiance[order],
+            alive[order], order_acc[order])
+
+
+def trace_paths_staged(scene, materials: Materials, lights: PointLights,
+                       cam: Camera, key, cfg: PTConfig,
+                       pool: TexturePool = None, tex_refs=None):
+    """Host-orchestrated N-bounce path trace: jitted shading stages with
+    engine queries BETWEEN them, so DenseScene queries use the auto-sized
+    Pallas worklists (exact per-tile work — no global-round amplification
+    from escaping diffuse rays). Matches trace_paths bit-for-bit on the
+    same key when both use the same engine."""
+    H, W, spp, B = cfg.height, cfg.width, cfg.spp, cfg.bounces
+    R = H * W * spp
+    bg = jnp.asarray(cfg.background, jnp.float32)
+    n_lights = lights.position.shape[0]
+
+    key, kp = jax.random.split(key)
+    rays = generate_primary_rays(cam, W, H, spp, kp)
+    o, d = rays.o, rays.d
+    throughput = jnp.ones((R, 3), jnp.float32)
+    radiance = jnp.zeros((R, 3), jnp.float32)
+    alive = jnp.ones((R,), bool)
+    order_acc = jnp.arange(R)
+
+    for bounce in range(B):
+        key, k_l, k_b, k_r = jax.random.split(key, 4)
+        perm = order_acc
+        u_l = jax.random.randint(k_l, (R,), 0, n_lights)[perm]
+        u_b = jax.random.uniform(k_b, (R, 3))[perm]
+        u_r = jax.random.normal(k_r, (R, 3))[perm]
+
+        res = _disp.scene_closest_hit(
+            scene, Ray.create(o=o, d=d,
+                              t_max=jnp.where(alive, jnp.inf, -1.0)),
+            tile_size=cfg.tile_size)
+        hit, p, n, base, mi, wi, dist, so, st = _pt_prep_nee(
+            res.hit, res.barycentric, res.triangle.vertices,
+            res.triangle.normals, res.triangle.uv, res.triangle.metadata,
+            d, alive, materials, lights, u_l, cfg.eps, pool, tex_refs)
+        occ = _disp.scene_any_hit(scene, Ray.create(o=so, d=wi, t_max=st),
+                                  tile_size=cfg.tile_size)
+        o, d, throughput, radiance, alive, order_acc = _pt_shade_and_sample(
+            hit, res.hit, p, n, base, mi, wi, dist, occ.hit,
+            o, d, throughput, radiance, alive, order_acc,
+            materials, lights, u_l, u_b, u_r,
+            jnp.asarray(scene.root_aabb), bg, cfg.eps,
+            n_lights=n_lights, last=(bounce == B - 1))
+
+    inv = jnp.argsort(order_acc)
+    radiance = radiance[inv]
+    img = radiance.reshape(H, W, spp, 3).mean(axis=2)
+    return jnp.clip(img, 0.0, 1.0)

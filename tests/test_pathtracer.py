@@ -75,3 +75,31 @@ def test_textured_albedo(room):
                                             bounces=1, tile_size=512)))
     # Textured floor changes pixels vs the plain material.
     assert np.abs(img_t - img_p).max() > 0.02
+
+
+def test_staged_matches_jitted(room):
+    from raycore_tpu.render.pathtracer import trace_paths_staged
+    scene, mats, lights, cam = room
+    cfg = PTConfig(width=32, height=24, spp=1, bounces=3, tile_size=256)
+    a = np.asarray(trace_paths(scene, mats, lights, cam,
+                               jax.random.PRNGKey(5), cfg))
+    b = np.asarray(trace_paths_staged(scene, mats, lights, cam,
+                                      jax.random.PRNGKey(5), cfg))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_staged_dense_scene():
+    from raycore_tpu.render.pathtracer import trace_paths_staged
+    from raycore_tpu.accel.dense import build_dense
+    from raycore_tpu.render.wavefront import Materials, PointLights, Camera
+    tris = rc.displaced_grid_mesh(n=24)
+    ds = build_dense(tris, cluster_size=64)
+    mats = Materials.create(base_color=np.full((2000, 3), 0.6, np.float32))
+    lights = PointLights(position=jnp.asarray([[0.0, 0, 5.0]]),
+                         intensity=jnp.asarray([[20.0, 20, 20]]))
+    cam = Camera.create(position=(0, -3, 2.5), target=(0, 0, 0))
+    img = np.asarray(trace_paths_staged(
+        ds, mats, lights, cam, jax.random.PRNGKey(0),
+        PTConfig(width=32, height=24, spp=1, bounces=2, tile_size=256)))
+    assert img.shape == (24, 32, 3)
+    assert img.mean() > 0.005
