@@ -43,15 +43,23 @@ def main():
     mesh = rc.displaced_grid_mesh(n=grid_n, extent=2.0, amplitude=0.35)
     n_tris = mesh.vertices.shape[0]
 
+    def do_build():
+        if engine.startswith("dense"):
+            sc = build_dense(mesh, cluster_size=cluster)
+            jax.block_until_ready(sc.tri_feats)
+        else:
+            mgr = TLAS()
+            mgr.push(mesh, None)
+            sc = mgr.sync()
+            jax.block_until_ready(sc.unified_nodes)
+        return sc
+
     build_t0 = time.time()
-    if engine.startswith("dense"):
-        scene = build_dense(mesh, cluster_size=cluster)
-        jax.block_until_ready(scene.tri_feats)
-    else:
-        scene_mgr = TLAS()
-        scene_mgr.push(mesh, None)
-        scene = scene_mgr.sync()
-        jax.block_until_ready(scene.unified_nodes)
+    scene = do_build()
+    build_cold_ms = (time.time() - build_t0) * 1e3
+    # Warm build (compiles cached): the BASELINE-comparable number.
+    build_t0 = time.time()
+    scene = do_build()
     build_ms = (time.time() - build_t0) * 1e3
 
     # Primary ray grid looking down at the heightfield (the BASELINE.md
@@ -109,7 +117,8 @@ def main():
         "detail": {
             "n_tris": int(n_tris), "n_rays": int(n_rays),
             "hit_frac": round(hit_frac, 4),
-            "build_ms_warm_excluded": round(build_ms, 2),
+            "build_ms_warm": round(build_ms, 2),
+            "build_ms_cold": round(build_cold_ms, 2),
             "best_s": round(best, 5),
             "times_s": [round(t, 5) for t in times],
             "backend": jax.default_backend(),

@@ -44,7 +44,7 @@ from flax import struct
 
 from ..core.ray import Ray
 from ..core.triangle import Triangle
-from .brute import HitResult, gather_triangles, _mask_triangle
+from .brute import HitResult
 
 FEAT = 16
 
