@@ -175,12 +175,12 @@ def build_dense(tris: Triangle, cluster_size: int = 256,
     """Cluster + featurize a triangle soup. Triangles are Morton-sorted
     first (clusters must be spatially coherent); capacity pads to a
     multiple of cluster_size with far-away sentinels."""
-    from .lbvh import build_blas
+    from .lbvh import morton_sort_triangles
     from .types import next_pow2
     n = tris.vertices.shape[0]
     cap = max(next_pow2(n), cluster_size)
-    blas = build_blas(tris, capacity=cap)        # reuses the Morton sort
-    return _build_dense(blas.prims, cluster_size, sub_chunks)
+    sorted_tris = morton_sort_triangles(tris, cap)   # no BVH needed here
+    return _build_dense(sorted_tris, cluster_size, sub_chunks)
 
 
 # ---------------------------------------------------------------------------

@@ -231,6 +231,28 @@ def pack_nodes_blas(child0, child1, parent, node_min, node_max, sorted_verts):
     return jnp.concatenate([internal, leaves], axis=0)
 
 
+@partial(jax.jit, static_argnames=())
+def _morton_sort_padded(tris: Triangle):
+    """Morton-sort a capacity-padded Triangle SoA (the build's first three
+    stages only: bounds -> codes -> stable sort + permute). The dense
+    clustered engine needs nothing else from the BVH build."""
+    v = tris.vertices
+    bmin, bmax = _tri_bounds(v)
+    scene_min = jnp.min(bmin, axis=0)
+    scene_max = jnp.max(bmax, axis=0)
+    centers = 0.5 * (bmin + bmax)
+    codes = _morton.morton_code_30bit(
+        _normalize_centroids(centers, scene_min, scene_max))
+    order = jnp.arange(v.shape[0], dtype=jnp.int32)
+    _, perm = jax.lax.sort((codes, order), num_keys=1, is_stable=True)
+    return jax.tree_util.tree_map(lambda a: jnp.take(a, perm, axis=0), tris)
+
+
+def morton_sort_triangles(tris: Triangle, capacity: int) -> Triangle:
+    """Pad to capacity and Morton-sort (padding sentinels sort last)."""
+    return _morton_sort_padded(pad_triangles(tris, capacity))
+
+
 def build_blas(tris: Triangle, capacity: int | None = None) -> BLAS:
     """Build a BLAS from a Triangle SoA (any count >= 1).
 
