@@ -83,6 +83,11 @@ def main():
     if engine == "dense_pallas":
         cap = int(os.environ.get("RAYCORE_BENCH_CAP", 40))
         passes = int(os.environ.get("RAYCORE_BENCH_PASSES", 1))
+        # Warmup validates capacity (raises on worklist overflow); timed
+        # runs skip the host sync.
+        closest_hit_dense_pallas(scene, rays, tile=tile,
+                                 max_pairs_per_tile=cap,
+                                 check_overflow=True, passes=passes)
         run = lambda: closest_hit_dense_pallas(
             scene, rays, tile=tile, max_pairs_per_tile=cap,
             check_overflow=False, passes=passes)

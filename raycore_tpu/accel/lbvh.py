@@ -235,11 +235,16 @@ def pack_nodes_blas(child0, child1, parent, node_min, node_max, sorted_verts):
 def _morton_sort_padded(tris: Triangle):
     """Morton-sort a capacity-padded Triangle SoA (the build's first three
     stages only: bounds -> codes -> stable sort + permute). The dense
-    clustered engine needs nothing else from the BVH build."""
+    clustered engine needs nothing else from the BVH build.
+
+    Scene bounds for code normalization must EXCLUDE the PAD_COORD
+    sentinels, or every real centroid collapses to one Morton cell and the
+    clustering degenerates."""
     v = tris.vertices
     bmin, bmax = _tri_bounds(v)
-    scene_min = jnp.min(bmin, axis=0)
-    scene_max = jnp.max(bmax, axis=0)
+    real = bmin[:, 0] < PAD_COORD / 2
+    scene_min = jnp.min(jnp.where(real[:, None], bmin, jnp.inf), axis=0)
+    scene_max = jnp.max(jnp.where(real[:, None], bmax, -jnp.inf), axis=0)
     centers = 0.5 * (bmin + bmax)
     codes = _morton.morton_code_30bit(
         _normalize_centroids(centers, scene_min, scene_max))
