@@ -58,7 +58,8 @@ from .accel.dense import (DenseScene, build_dense, closest_hit_dense,
                           any_hit_dense, morton_sort_rays)
 from .ops.pallas_dense import closest_hit_dense_pallas
 from .scene.tlas import TLAS, TLASHandle, INVALID_HANDLE, blas_to_static_tlas
-from .scene.mesh import (build_triangles, is_degenerate_face, sphere_mesh,
+from .scene.mesh import (build_triangles, build_triangle,
+                         is_degenerate_face, sphere_mesh,
                          box_mesh, plane_mesh, displaced_grid_mesh)
 from .scene.obj import load_obj
 from .scene.io import save_scene, load_scene
@@ -66,7 +67,9 @@ from .scene.bake import bake_dense, flatten_world_triangles
 from .collections.multitypeset import (MultiTypeSet, StaticMultiTypeSet,
                                        SetKey, TexturePool, with_index,
                                        is_invalid, is_valid_key,
-                                       sample_nearest, sample_bilinear)
+                                       sample_nearest, sample_bilinear,
+                                       deref, to_tuple, maybe_convert_field,
+                                       texture_to_numpy)
 from .analysis.kernels import (RayHits, generate_ray_grid, hits_from_grid,
                                get_centroid, get_illumination, view_factors)
 from .analysis.collision import (CollisionResult, collide_instances,

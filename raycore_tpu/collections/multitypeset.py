@@ -152,6 +152,40 @@ def with_index(fns: Sequence[Callable], sset: StaticMultiTypeSet, key,
                           branches, key, args)
 
 
+def deref(pool: TexturePool, ref):
+    """Texture record for a handle: (offset, h, w, c) int32 (the reference's
+    deref yields the texture view; with a flat pool the record plus
+    `sample_nearest`/`sample_bilinear` is the trace-friendly equivalent)."""
+    return pool.records[jnp.asarray(ref, jnp.int32)]
+
+
+def texture_to_numpy(pool: TexturePool, ref):
+    """Host-side full texture fetch (shapes are dynamic, so this is a
+    NumPy utility, not a traced op)."""
+    import numpy as np
+    rec = np.asarray(pool.records)[int(ref)]
+    off, h, w, c = (int(x) for x in rec)
+    return np.asarray(pool.data)[off:off + h * w * c].reshape(h, w, c)
+
+
+def to_tuple(sset: StaticMultiTypeSet):
+    """The per-type table tuple (reference to_tuple)."""
+    return sset.tables
+
+
+def maybe_convert_field(mts: "MultiTypeSet", value):
+    """Array-valued fields become texture handles; scalars pass through
+    (reference maybe_convert_field, src/multitypeset.jl:281-324)."""
+    import numpy as np
+    if isinstance(value, np.ndarray) and value.ndim >= 2:
+        return mts.store_texture(value)
+    return value
+
+
+def n_slots(sset) -> int:
+    return sset.n_slots
+
+
 def foreach_type(fn: Callable, sset: StaticMultiTypeSet):
     """Apply ``fn(type_idx, table, count)`` per type slot (trace-unrolled,
     like the reference's foreach_element over slots)."""

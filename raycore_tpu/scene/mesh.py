@@ -63,6 +63,24 @@ def build_triangles(vertices, faces, normals=None, uvs=None, metadata=None,
     )
 
 
+def build_triangle(v0, v1, v2, metadata=0) -> Triangle:
+    """Single triangle from three points (reference build_triangle)."""
+    import jax.numpy as jnp
+    v = np.stack([np.asarray(v0, np.float32), np.asarray(v1, np.float32),
+                  np.asarray(v2, np.float32)])[None]
+    e1 = v[0, 1] - v[0, 0]
+    e2 = v[0, 2] - v[0, 0]
+    n = np.cross(e1, e2)
+    ln = np.linalg.norm(n)
+    n = n / ln if ln > 0 else n
+    return Triangle(
+        vertices=jnp.asarray(v),
+        normals=jnp.asarray(np.tile(n, (1, 3, 1)).astype(np.float32)),
+        tangents=jnp.zeros((1, 3, 3), jnp.float32),
+        uv=jnp.zeros((1, 3, 2), jnp.float32),
+        metadata=jnp.asarray([metadata], jnp.uint32))
+
+
 def is_degenerate_face(vertices, face) -> bool:
     """Host-side degenerate-face predicate (reference build path helper)."""
     v = np.asarray(vertices, np.float32)[np.asarray(face)]

@@ -84,7 +84,12 @@ def test_export_surface():
         "is_degenerate_face", "sphere_mesh", "box_mesh", "plane_mesh",
         "displaced_grid_mesh", "HitResult", "closest_hit_brute",
         "any_hit_brute", "sampling", "sharding", "blas_to_static_tlas",
-        "Instances", "karras_topology", "refit_aabbs",
+        "Instances", "karras_topology", "refit_aabbs", "build_triangle",
+        "deref", "to_tuple", "maybe_convert_field", "texture_to_numpy",
+        "DenseScene", "build_dense", "closest_hit_dense", "any_hit_dense",
+        "morton_sort_rays", "closest_hit_dense_pallas", "save_scene",
+        "load_scene", "load_obj", "bake_dense", "flatten_world_triangles",
+        "PTConfig", "trace_paths", "TLAS4",
     ]
     missing = [n for n in names if not hasattr(rc, n)]
     assert not missing, f"missing exports: {missing}"
