@@ -84,10 +84,15 @@ def main():
         cap = int(os.environ.get("RAYCORE_BENCH_CAP", 40))
         passes = int(os.environ.get("RAYCORE_BENCH_PASSES", 1))
         # Warmup validates capacity (raises on worklist overflow); timed
-        # runs skip the host sync.
-        closest_hit_dense_pallas(scene, rays, tile=tile,
-                                 max_pairs_per_tile=cap,
-                                 check_overflow=True, passes=passes)
+        # runs skip the host sync. On overflow, double the cap and retry.
+        for attempt in range(3):
+            try:
+                closest_hit_dense_pallas(scene, rays, tile=tile,
+                                         max_pairs_per_tile=cap,
+                                         check_overflow=True, passes=passes)
+                break
+            except RuntimeError:
+                cap *= 2
         run = lambda: closest_hit_dense_pallas(
             scene, rays, tile=tile, max_pairs_per_tile=cap,
             check_overflow=False, passes=passes)
