@@ -22,6 +22,8 @@ import numpy as np
 
 def main():
     import jax
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import raycore_tpu as rc
     from raycore_tpu.scene.tlas import TLAS

@@ -15,6 +15,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 
+# Respect JAX_PLATFORMS=cpu even though the sandbox sitecustomize
+# force-registers the TPU platform.
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
+
 
 def rot_y(theta):
     c, s = np.cos(theta), np.sin(theta)

@@ -15,6 +15,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 
+# Respect JAX_PLATFORMS=cpu even though the sandbox sitecustomize
+# force-registers the TPU platform.
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main(n_instances=128, n_frames=6):
     import raycore_tpu as rc

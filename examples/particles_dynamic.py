@@ -14,6 +14,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 
+# Respect JAX_PLATFORMS=cpu even though the sandbox sitecustomize
+# force-registers the TPU platform.
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main(n_particles=512, n_frames=8):
     import raycore_tpu as rc

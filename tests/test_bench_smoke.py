@@ -55,3 +55,16 @@ def test_graft_entry_main():
     assert out.returncode == 0, out.stderr[-2000:]
     assert "entry ok" in out.stdout
     assert "dryrun_multichip(4) ok" in out.stdout
+
+
+def test_examples_run_small():
+    """Examples execute end-to-end on CPU with tiny configs."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    for script, args in (("examples/particles_dynamic.py", ["64"]),
+                         ("examples/dynamic_refit.py", ["16"]),
+                         ("examples/articulated.py", [])):
+        out = subprocess.run([sys.executable, script] + args, cwd=REPO,
+                             env=env, capture_output=True, text=True,
+                             timeout=900)
+        assert out.returncode == 0, f"{script}: {out.stderr[-1500:]}"
