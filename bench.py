@@ -33,7 +33,7 @@ def main():
 
     n_tris_target = int(os.environ.get("RAYCORE_BENCH_TRIS", 1_000_000))
     n_rays = int(os.environ.get("RAYCORE_BENCH_RAYS", 1_048_576))
-    tile = int(os.environ.get("RAYCORE_BENCH_TILE", 512))
+    tile = int(os.environ.get("RAYCORE_BENCH_TILE", 1024))
     reps = int(os.environ.get("RAYCORE_BENCH_REPS", 5))
     engine = os.environ.get("RAYCORE_BENCH_ENGINE", "dense_pallas")
     cluster = int(os.environ.get("RAYCORE_BENCH_CLUSTER", 128))
@@ -73,7 +73,7 @@ def main():
     o = jnp.stack([X, Y, jnp.full_like(X, 3.0)], -1)
     # Blocked (square-tile) ray order: a dense-engine tile must be a
     # spatially compact pixel block, not a scanline strip.
-    B = int(os.environ.get("RAYCORE_BENCH_BLOCK", 16))
+    B = int(os.environ.get("RAYCORE_BENCH_BLOCK", 32))
     if side % B == 0:
         o = o.reshape(side // B, B, side // B, B, 3) \
              .transpose(0, 2, 1, 3, 4).reshape(-1, 3)
