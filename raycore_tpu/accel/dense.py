@@ -385,6 +385,36 @@ def finalize_hits(scene: DenseScene, pair, t, u, v) -> HitResult:
                      instance_idx=jnp.where(hit, 0, -1))
 
 
+def finalize_hits_exact(scene: DenseScene, pair, t_approx, o, d) -> HitResult:
+    """Finalize for the packed-key Pallas engine: the kernel carries only a
+    mantissa-truncated t key + prim index, so gather the winning triangle
+    and recompute (t, u, v) with full-precision scalar Möller–Trumbore
+    (exactly the reference's fast_intersect_triangle math,
+    src/instanced-bvh.jl:1756-1797). Winners admitted under the featurized
+    EDGE_EPS slack clamp into the barycentric simplex."""
+    hit = (pair >= 0) & jnp.isfinite(t_approx)
+    rows = jnp.take(scene.prims_packed, jnp.clip(pair, 0, None), axis=0)
+    tri = unpack_prims_rows(rows, hit)
+    v0, v1, v2 = tri.vertices[:, 0], tri.vertices[:, 1], tri.vertices[:, 2]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    s1 = jnp.cross(d, e2)
+    det = jnp.sum(s1 * e1, axis=-1)
+    r = jnp.where(det != 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
+    dvec = o - v0
+    u = jnp.sum(dvec * s1, axis=-1) * r
+    s2 = jnp.cross(dvec, e1)
+    v = jnp.sum(d * s2, axis=-1) * r
+    t = jnp.where(det != 0.0, jnp.sum(e2 * s2, axis=-1) * r, t_approx)
+    u = jnp.clip(u, 0.0, 1.0)
+    v = jnp.clip(v, 0.0, 1.0 - u)
+    bary = jnp.where(hit[:, None], jnp.stack([1 - u - v, u, v], -1), 0.0)
+    return HitResult(hit=hit, triangle=tri, t=jnp.where(hit, t, 0.0),
+                     barycentric=bary,
+                     prim_idx=jnp.where(hit, pair, -1),
+                     instance_idx=jnp.where(hit, 0, -1))
+
+
 @partial(jax.jit, static_argnames=("tile", "select_per_round", "max_rounds"))
 def _dense_query_full(scene: DenseScene, o, d, t_min, t_max, *, tile: int,
                       select_per_round: int, max_rounds: int):

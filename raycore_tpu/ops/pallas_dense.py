@@ -11,10 +11,14 @@ Möller–Trumbore epilogue on the VPU, and min-merges into per-ray best
 buffers. Consecutive blocks of the same tile keep the output block
 resident in VMEM (Pallas revisiting), so the merge is register-speed.
 
-The kernel carries four per-ray best buffers (t, packed prim index, u, v)
-merged under a `better` mask; long worklists chain bounded pallas_calls
-with `input_output_aliases` so carried bests survive chunk boundaries
-(scalar-prefetch id arrays live in SMEM and must stay small).
+The kernel carries TWO per-ray best buffers: a packed int32 key (the best
+t's float bits with the winning lane index in the low mantissa bits — one
+cross-lane int-min replaces the min/argmin/u-select/v-select reduction
+quartet) and the packed prim index; exact (u, v, t) for the single winning
+triangle are recomputed in finalize_hits_exact. Long worklists chain
+bounded pallas_calls with `input_output_aliases` so carried bests survive
+chunk boundaries (scalar-prefetch id arrays live in SMEM and must stay
+small).
 """
 from __future__ import annotations
 
@@ -28,12 +32,50 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.triangle import safe_invdir
 
 FEAT = 16
-_MATMUL_PRECISION = jax.lax.Precision.HIGHEST  # override for experiments
+# fp32 accuracy on the MXU costs 6 bf16 passes (HIGHEST; Pallas has no
+# 3-pass HIGH tier). RAYCORE_MM_PRECISION=default switches to 1-pass bf16
+# for timing experiments only — it breaks hit accuracy.
+import os as _os
+_MATMUL_PRECISION = (jax.lax.Precision.DEFAULT
+                     if _os.environ.get("RAYCORE_MM_PRECISION") == "default"
+                     else jax.lax.Precision.HIGHEST)
+
+# --- packed best keys -------------------------------------------------------
+# The kernel carries ONE int32 per ray: the bit pattern of the best t (a
+# positive float, so int ordering == float ordering) with the low mantissa
+# bits replaced by the winning lane index. This turns the epilogue's four
+# cross-lane reductions (min, argmin, u-select, v-select) into a single int
+# min — the VPU epilogue was ~3.8 us of the measured ~5 us per block vs a
+# ~1.2 us matmul floor (tools/profile_stages.py). Exact (u, v, t) for the
+# one winning triangle are recomputed in finalize_hits_exact, so payload
+# precision is FULL scalar Möller–Trumbore (better than the old carried
+# featurized values); only the *ordering* of hits within 2^-(23-bits)
+# relative t of each other is affected by the mantissa truncation.
+
+
+def _idx_bits(CS: int) -> int:
+    """Mantissa bits reserved for the lane index (7 for 128-tri chunks)."""
+    return max((CS - 1).bit_length(), 1)
+
+
+def _pack_tmax(t_max, bits: int):
+    """Initial best keys from per-ray t_max: truncated float bits with the
+    index field saturated, so any candidate with smaller truncated t wins.
+    Negative t_max (padding rows use -inf) clamps to 0 => nothing wins."""
+    mask = (1 << bits) - 1
+    tp = jnp.maximum(t_max.astype(jnp.float32), 0.0)
+    k = jax.lax.bitcast_convert_type(tp, jnp.int32)
+    return (k & ~mask) | mask
+
+
+def _t_from_keys(key, bits: int):
+    """Decode the truncated best t (<= true t; inf bit pattern survives)."""
+    mask = (1 << bits) - 1
+    return jax.lax.bitcast_convert_type(key & ~mask, jnp.float32)
 
 
 def _kernel(tids_ref, cids_ref, phi_ref, feats_ref, sub_ref, tmin_ref,
-            t0_ref, pair0_ref, u0_ref, v0_ref,
-            t_out, pair_out, u_out, v_out, *, C: int, SUB: int,
+            key0_ref, pair0_ref, key_out, pair_out, *, C: int, SUB: int,
             edge_eps: float, n_dummy_tile: int):
     b = pl.program_id(0)
     tid = tids_ref[b]
@@ -47,23 +89,21 @@ def _kernel(tids_ref, cids_ref, phi_ref, feats_ref, sub_ref, tmin_ref,
     @pl.when(valid)
     def _():
         _kernel_body(cids_ref, phi_ref, feats_ref, sub_ref, tmin_ref,
-                     t0_ref, pair0_ref, u0_ref, v0_ref,
-                     t_out, pair_out, u_out, v_out, b, cid, first,
+                     key0_ref, pair0_ref, key_out, pair_out, b, cid, first,
                      C=C, SUB=SUB, edge_eps=edge_eps)
 
 
-def _kernel_body(cids_ref, phi_ref, feats_ref, sub_ref, tmin_ref, t0_ref,
-                 pair0_ref, u0_ref, v0_ref,
-                 t_out, pair_out, u_out, v_out, b, cid, first, *, C: int,
+def _kernel_body(cids_ref, phi_ref, feats_ref, sub_ref, tmin_ref, key0_ref,
+                 pair0_ref, key_out, pair_out, b, cid, first, *, C: int,
                  SUB: int, edge_eps: float):
     phi = phi_ref[:]                     # (TILE, 16)
     feats = feats_ref[0]                 # (16, 4C) sub-chunk-major
     CS = C // SUB
+    bits = _idx_bits(CS)
+    mask = jnp.int32((1 << bits) - 1)
 
-    cur_t = jnp.where(first, t0_ref[:], t_out[:])            # (TILE, 1)
+    cur_key = jnp.where(first, key0_ref[:], key_out[:])       # (TILE, 1)
     cur_pair = jnp.where(first, pair0_ref[:], pair_out[:])
-    cur_u = jnp.where(first, u0_ref[:], u_out[:])
-    cur_v = jnp.where(first, v0_ref[:], v_out[:])
     tmin = tmin_ref[:]
 
     o = phi[:, 6:9]
@@ -73,6 +113,7 @@ def _kernel_body(cids_ref, phi_ref, feats_ref, sub_ref, tmin_ref, t0_ref,
     for s in range(SUB):
         # Per-ray slab test against this sub-chunk's AABB; skip the whole
         # matmul + epilogue when no ray in the tile can enter it.
+        cur_t = jax.lax.bitcast_convert_type(cur_key & ~mask, jnp.float32)
         lo = tmin
         hi = cur_t
         for a in range(3):
@@ -85,7 +126,9 @@ def _kernel_body(cids_ref, phi_ref, feats_ref, sub_ref, tmin_ref, t0_ref,
         sub_live = jnp.any(lo <= hi)
 
         def test_sub(cur, s=s):
-            cur_t, cur_pair, cur_u, cur_v = cur
+            cur_key, cur_pair = cur
+            cur_t = jax.lax.bitcast_convert_type(cur_key & ~mask,
+                                                 jnp.float32)
             q = jax.lax.dot_general(
                 phi, feats[:, s * 4 * CS:(s + 1) * 4 * CS],
                 (((1,), (0,)), ((), ())),
@@ -101,36 +144,29 @@ def _kernel_body(cids_ref, phi_ref, feats_ref, sub_ref, tmin_ref, t0_ref,
             t = tdet * r
             ok = (u >= -e) & (u <= 1.0 + e) & (v >= -e) \
                 & (u + v <= 1.0 + e) & (t >= tmin) & (t <= cur_t)
-            t_ok = jnp.where(ok, t, jnp.inf)
-            t_min_c = jnp.min(t_ok, axis=1, keepdims=True)
-            ids = jax.lax.broadcasted_iota(jnp.int32, t_ok.shape, 1)
-            big = jnp.int32(1 << 30)
-            is_min = (t_ok == t_min_c) & (t_min_c < jnp.inf)
-            arg = jnp.min(jnp.where(is_min, ids, big), axis=1,
-                          keepdims=True)
-            winner = is_min & (ids == arg)
-            sel = lambda a_: jnp.max(jnp.where(winner, a_, -jnp.inf),
-                                     axis=1, keepdims=True)
-            better = t_min_c < cur_t
-            return (jnp.where(better, t_min_c, cur_t),
-                    jnp.where(better, cid * C + s * CS + arg, cur_pair),
-                    jnp.where(better, sel(u), cur_u),
-                    jnp.where(better, sel(v), cur_v))
+            # Single cross-lane reduction: int bits of t (positive, so int
+            # order == float order) with the lane id in the low mantissa.
+            kb = jax.lax.bitcast_convert_type(jnp.maximum(t, 0.0),
+                                              jnp.int32)
+            ids = jax.lax.broadcasted_iota(jnp.int32, kb.shape, 1)
+            key = jnp.where(ok, (kb & ~mask) | ids,
+                            jnp.int32(0x7FFFFFFF))
+            key_min = jnp.min(key, axis=1, keepdims=True)
+            better = key_min < cur_key
+            pair = cid * C + s * CS + (key_min & mask)
+            return (jnp.where(better, key_min, cur_key),
+                    jnp.where(better, pair, cur_pair))
 
         if SUB == 1:
             # Single chunk: the cluster-level interval test already
             # qualified this block — skip the cond/slab machinery.
-            cur_t, cur_pair, cur_u, cur_v = test_sub(
-                (cur_t, cur_pair, cur_u, cur_v))
+            cur_key, cur_pair = test_sub((cur_key, cur_pair))
         else:
-            cur_t, cur_pair, cur_u, cur_v = jax.lax.cond(
-                sub_live, test_sub, lambda cur: cur,
-                (cur_t, cur_pair, cur_u, cur_v))
+            cur_key, cur_pair = jax.lax.cond(
+                sub_live, test_sub, lambda cur: cur, (cur_key, cur_pair))
 
-    t_out[:] = cur_t
+    key_out[:] = cur_key
     pair_out[:] = cur_pair
-    u_out[:] = cur_u
-    v_out[:] = cur_v
 
 
 WORKLIST_CHUNK = 4096   # blocks per pallas_call: scalar-prefetch ids live
@@ -139,12 +175,14 @@ WORKLIST_CHUNK = 4096   # blocks per pallas_call: scalar-prefetch ids live
 
 @partial(jax.jit, static_argnames=("TILE", "C", "SUB", "n_blocks",
                                    "interpret"))
-def _run_worklist(tids, cids, phi, feats, sub_bounds, tmin, best0, *,
+def _run_worklist(tids, cids, phi, feats, sub_bounds, tmin, key0, *,
                   TILE: int, C: int, SUB: int, n_blocks: int,
-                  interpret: bool):
+                  interpret: bool, pair0=None):
     """tids/cids: (n_blocks,) int32 sorted by tid (padding blocks point at
     the trailing dummy tile). phi: (n_tiles_p*TILE, 16). feats: (K, 16, 4C).
-    tmin/best0: (n_tiles_p*TILE, 1). Returns (t, pair, u, v) flat rows.
+    tmin/key0: (n_tiles_p*TILE, 1); key0 from `_pack_tmax` (or a previous
+    pass's keys). Returns (key, pair) flat rows — decode t with
+    `_t_from_keys`; exact (u, v, t) come from finalize_hits_exact.
 
     Long worklists run as a chain of bounded pallas_calls; each chunk's
     outputs seed the next chunk's init buffers, so tiles split across
@@ -154,17 +192,13 @@ def _run_worklist(tids, cids, phi, feats, sub_bounds, tmin, best0, *,
     kernel = partial(_kernel, C=C, SUB=SUB, edge_eps=1e-5,
                      n_dummy_tile=n_dummy_tile)
     out_shapes = [
-        jax.ShapeDtypeStruct((R, 1), jnp.float32),
         jax.ShapeDtypeStruct((R, 1), jnp.int32),
-        jax.ShapeDtypeStruct((R, 1), jnp.float32),
-        jax.ShapeDtypeStruct((R, 1), jnp.float32),
+        jax.ShapeDtypeStruct((R, 1), jnp.int32),
     ]
     spec_tile = pl.BlockSpec((TILE, 1), lambda b, t, c: (t[b], 0))
 
-    t = best0
-    pair = jnp.full((R, 1), -1, jnp.int32)
-    u = jnp.zeros((R, 1), jnp.float32)
-    v = jnp.zeros((R, 1), jnp.float32)
+    key = key0
+    pair = jnp.full((R, 1), -1, jnp.int32) if pair0 is None else pair0
     n_chunks = -(-n_blocks // WORKLIST_CHUNK)
     for ch in range(n_chunks):
         lo = ch * WORKLIST_CHUNK
@@ -176,19 +210,19 @@ def _run_worklist(tids, cids, phi, feats, sub_bounds, tmin, best0, *,
                 pl.BlockSpec((TILE, FEAT), lambda b, t_, c: (t_[b], 0)),
                 pl.BlockSpec((1, FEAT, 4 * C), lambda b, t_, c: (c[b], 0, 0)),
                 pl.BlockSpec((1, 1, 128), lambda b, t_, c: (c[b], 0, 0)),
-                spec_tile, spec_tile, spec_tile, spec_tile, spec_tile,
+                spec_tile, spec_tile, spec_tile,
             ],
-            out_specs=[spec_tile] * 4,
+            out_specs=[spec_tile] * 2,
         )
         # Alias the carried best buffers onto the outputs so rows whose
         # tile is absent from this chunk keep their previous values.
-        t, pair, u, v = pl.pallas_call(
+        key, pair = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shapes,
-            input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
+            input_output_aliases={6: 0, 7: 1},
             interpret=interpret,
         )(tids[lo:lo + sz], cids[lo:lo + sz], phi, feats, sub_bounds,
-          tmin, t, pair, u, v)
-    return t[:, 0], pair[:, 0], u[:, 0], v[:, 0]
+          tmin, key, pair)
+    return key[:, 0], pair[:, 0]
 
 
 def _phase_a_kernel(stats_ref, bounds_ref, entry_out):
@@ -296,7 +330,7 @@ def _pallas_query(scene, o, d, t_min, t_max,
     """End-to-end jitted query: pad -> interval phase A -> worklist ->
     Pallas sweep -> finalize. One dispatch (eager glue on the tunneled
     backend costs ~ms per op)."""
-    from ..accel.dense import ray_features, finalize_hits
+    from ..accel.dense import ray_features, finalize_hits_exact
     C = scene.cluster_size
     R0 = o.shape[0]
     d = jnp.where(d == 0.0, 0.0, d)
@@ -316,12 +350,15 @@ def _pallas_query(scene, o, d, t_min, t_max,
     # Dummy tile row block absorbs invalid worklist entries.
     phi_p = jnp.concatenate([phi, jnp.zeros((TILE, FEAT), jnp.float32)])
     tmin_p = jnp.concatenate([t_min, jnp.zeros((TILE,))])[:, None]
-    best0_p = jnp.concatenate([t_max, jnp.full((TILE,), -jnp.inf)])[:, None]
+    bits = _idx_bits(C // scene.sub_chunks)
+    key0_p = _pack_tmax(jnp.concatenate(
+        [t_max, jnp.full((TILE,), -jnp.inf)])[:, None], bits)
 
-    t, pair, u, v = _run_worklist(tids, cids, phi_p, scene.tri_feats,
-                                  scene.sub_bounds, tmin_p, best0_p,
-                                  TILE=TILE, C=C, SUB=scene.sub_chunks,
-                                  n_blocks=max_pairs, interpret=interpret)
+    key, pair = _run_worklist(tids, cids, phi_p, scene.tri_feats,
+                              scene.sub_bounds, tmin_p, key0_p,
+                              TILE=TILE, C=C, SUB=scene.sub_chunks,
+                              n_blocks=max_pairs, interpret=interpret)
+    t = _t_from_keys(key, bits)
     # Rows whose tile never appears in the worklist keep undefined
     # outputs; mask them via the entry matrix.
     tile_touched = jnp.any(jnp.isfinite(entry), axis=1)      # (n_tiles,)
@@ -329,7 +366,7 @@ def _pallas_query(scene, o, d, t_min, t_max,
     touched = jnp.concatenate([touched, jnp.zeros((TILE,), bool)])
     t = jnp.where(touched, t, jnp.inf)
     pair = jnp.where(touched, pair, -1)
-    res = finalize_hits(scene, pair[:R0], t[:R0], u[:R0], v[:R0])
+    res = finalize_hits_exact(scene, pair[:R0], t[:R0], o[:R0], d[:R0])
     return res, total
 
 
@@ -359,7 +396,7 @@ def _pallas_query2(scene, o, d, t_min, t_max,
                    *, TILE: int, max_pairs: int, S1: int, interpret: bool):
     """Two-pass pruned query: nearest-S1 clusters per tile first, then only
     the candidates whose conservative entry can still beat some ray's best."""
-    from ..accel.dense import ray_features, finalize_hits
+    from ..accel.dense import ray_features, finalize_hits_exact
     C = scene.cluster_size
     R0 = o.shape[0]
     d = jnp.where(d == 0.0, 0.0, d)
@@ -377,15 +414,18 @@ def _pallas_query2(scene, o, d, t_min, t_max,
     phi = ray_features(o, d)
     phi_p = jnp.concatenate([phi, jnp.zeros((TILE, FEAT), jnp.float32)])
     tmin_p = jnp.concatenate([t_min, jnp.zeros((TILE,))])[:, None]
-    best0 = jnp.concatenate([t_max, jnp.full((TILE,), -jnp.inf)])[:, None]
+    bits = _idx_bits(C // scene.sub_chunks)
+    key0 = _pack_tmax(jnp.concatenate(
+        [t_max, jnp.full((TILE,), -jnp.inf)])[:, None], bits)
 
     # Pass 1: nearest S1 clusters per tile (no sort, fixed count).
     tids1, cids1, entry_rest = _toppass_worklist(entry, S1)
-    t, pair, u, v = _run_worklist(tids1, cids1, phi_p, scene.tri_feats,
-                                  scene.sub_bounds, tmin_p, best0,
-                                  TILE=TILE, C=C, SUB=scene.sub_chunks,
-                                  n_blocks=int(tids1.shape[0]),
-                                  interpret=interpret)
+    key, pair = _run_worklist(tids1, cids1, phi_p, scene.tri_feats,
+                              scene.sub_bounds, tmin_p, key0,
+                              TILE=TILE, C=C, SUB=scene.sub_chunks,
+                              n_blocks=int(tids1.shape[0]),
+                              interpret=interpret)
+    t = _t_from_keys(key, bits)
 
     # Pass 2: remaining candidates that could still beat a ray in the tile.
     tile_best_max = jnp.max(
@@ -393,19 +433,15 @@ def _pallas_query2(scene, o, d, t_min, t_max,
     entry2 = jnp.where(entry_rest < tile_best_max[:, None], entry_rest,
                        jnp.inf)
     tids2, cids2, total2 = build_worklist(entry2, max_pairs)
-    t2, pair2, u2, v2 = _run_worklist(
+    # Pass 2 seeds its carried bests from pass 1 (key AND pair), so its
+    # outputs are already the merged result for every row.
+    key, pair = _run_worklist(
         tids2, cids2, phi_p, scene.tri_feats, scene.sub_bounds, tmin_p,
-        t[:, None], TILE=TILE, C=C, SUB=scene.sub_chunks,
-        n_blocks=max_pairs, interpret=interpret)
-    # Merge: pass 2 seeds its best_t from pass 1, so a pass-2 win has
-    # strictly smaller t; keep pass-1 payload where pass 2 found nothing.
-    better = t2 < t
-    pair = jnp.where(better, pair2, pair)
-    u = jnp.where(better, u2, u)
-    v = jnp.where(better, v2, v)
-    t = jnp.where(better, t2, t)
+        key[:, None], TILE=TILE, C=C, SUB=scene.sub_chunks,
+        n_blocks=max_pairs, interpret=interpret, pair0=pair[:, None])
+    t = _t_from_keys(key, bits)
 
-    res = finalize_hits(scene, pair[:R0], t[:R0], u[:R0], v[:R0])
+    res = finalize_hits_exact(scene, pair[:R0], t[:R0], o[:R0], d[:R0])
     return res, total2
 
 
@@ -432,33 +468,39 @@ def _phase_a_and_worklist(scene, o, d, t_min, t_max, *, TILE: int,
     phi = ray_features(o, d)
     phi_p = jnp.concatenate([phi, jnp.zeros((TILE, FEAT), jnp.float32)])
     tmin_p = jnp.concatenate([t_min, jnp.zeros((TILE,))])[:, None]
-    best0_p = jnp.concatenate([t_max, jnp.full((TILE,), -jnp.inf)])[:, None]
+    bits = _idx_bits(scene.cluster_size // scene.sub_chunks)
+    key0_p = _pack_tmax(jnp.concatenate(
+        [t_max, jnp.full((TILE,), -jnp.inf)])[:, None], bits)
     touched = jnp.any(jnp.isfinite(entry), axis=1)
-    return tids, cids, total, phi_p, tmin_p, best0_p, touched
+    return tids, cids, total, phi_p, tmin_p, key0_p, touched
 
 
 @partial(jax.jit, static_argnames=("TILE", "n_blocks", "interpret"))
-def _sweep_and_finalize(scene, tids, cids, phi_p, tmin_p, best0_p, touched,
+def _sweep_and_finalize(scene, tids, cids, phi_p, tmin_p, key0_p, touched,
                         *, TILE: int, n_blocks: int, interpret: bool):
-    from ..accel.dense import finalize_hits
+    from ..accel.dense import finalize_hits_exact
     C = scene.cluster_size
+    bits = _idx_bits(C // scene.sub_chunks)
     R0p = phi_p.shape[0] - TILE
-    t, pair, u, v = _run_worklist(tids[:n_blocks], cids[:n_blocks], phi_p,
-                                  scene.tri_feats, scene.sub_bounds, tmin_p,
-                                  best0_p, TILE=TILE, C=C,
-                                  SUB=scene.sub_chunks, n_blocks=n_blocks,
-                                  interpret=interpret)
+    key, pair = _run_worklist(tids[:n_blocks], cids[:n_blocks], phi_p,
+                              scene.tri_feats, scene.sub_bounds, tmin_p,
+                              key0_p, TILE=TILE, C=C,
+                              SUB=scene.sub_chunks, n_blocks=n_blocks,
+                              interpret=interpret)
+    t = _t_from_keys(key, bits)
     touched_r = jnp.repeat(touched, TILE)
     touched_r = jnp.concatenate([touched_r, jnp.zeros((TILE,), bool)])
     t = jnp.where(touched_r, t, jnp.inf)
     pair = jnp.where(touched_r, pair, -1)
-    return finalize_hits(scene, pair[:R0p], t[:R0p], u[:R0p], v[:R0p])
+    # phi rows carry the ray: phi = [d | o x d | o | 1 | invd...].
+    o_r, d_r = phi_p[:R0p, 6:9], phi_p[:R0p, 0:3]
+    return finalize_hits_exact(scene, pair[:R0p], t[:R0p], o_r, d_r)
 
 
 @partial(jax.jit, static_argnames=("TILE", "cap", "interpret"))
 def _topk_query(scene, o, d, t_min, t_max, *, TILE: int, cap: int,
                 interpret: bool):
-    from ..accel.dense import ray_features, finalize_hits
+    from ..accel.dense import ray_features, finalize_hits_exact
     C = scene.cluster_size
     R0 = o.shape[0]
     d = jnp.where(d == 0.0, 0.0, d)
@@ -477,17 +519,20 @@ def _topk_query(scene, o, d, t_min, t_max, *, TILE: int, cap: int,
     phi = ray_features(o, d)
     phi_p = jnp.concatenate([phi, jnp.zeros((TILE, FEAT), jnp.float32)])
     tmin_p = jnp.concatenate([t_min, jnp.zeros((TILE,))])[:, None]
-    best0_p = jnp.concatenate([t_max, jnp.full((TILE,), -jnp.inf)])[:, None]
-    t, pair, u, v = _run_worklist(tids, cids, phi_p, scene.tri_feats,
-                                  scene.sub_bounds, tmin_p, best0_p,
-                                  TILE=TILE, C=C, SUB=scene.sub_chunks,
-                                  n_blocks=int(tids.shape[0]),
-                                  interpret=interpret)
+    bits = _idx_bits(C // scene.sub_chunks)
+    key0_p = _pack_tmax(jnp.concatenate(
+        [t_max, jnp.full((TILE,), -jnp.inf)])[:, None], bits)
+    key, pair = _run_worklist(tids, cids, phi_p, scene.tri_feats,
+                              scene.sub_bounds, tmin_p, key0_p,
+                              TILE=TILE, C=C, SUB=scene.sub_chunks,
+                              n_blocks=int(tids.shape[0]),
+                              interpret=interpret)
+    t = _t_from_keys(key, bits)
     touched = jnp.repeat(jnp.any(jnp.isfinite(entry), axis=1), TILE)
     touched = jnp.concatenate([touched, jnp.zeros((TILE,), bool)])
     t = jnp.where(touched, t, jnp.inf)
     pair = jnp.where(touched, pair, -1)
-    return finalize_hits(scene, pair[:R0], t[:R0], u[:R0], v[:R0])
+    return finalize_hits_exact(scene, pair[:R0], t[:R0], o[:R0], d[:R0])
 
 
 def closest_hit_dense_pallas_topk(scene, rays, *, tile: int = 512,
