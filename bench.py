@@ -46,14 +46,15 @@ def main():
     n_tris = mesh.vertices.shape[0]
 
     def do_build():
+        # float() readbacks force real completion (see probe note below).
         if engine.startswith("dense"):
             sc = build_dense(mesh, cluster_size=cluster)
-            jax.block_until_ready(sc.tri_feats)
+            float(sc.tri_feats[0, 0, 0])
         else:
             mgr = TLAS()
             mgr.push(mesh, None)
             sc = mgr.sync()
-            jax.block_until_ready(sc.unified_nodes)
+            float(sc.unified_nodes[0, 0])
         return sc
 
     build_t0 = time.time()
@@ -103,16 +104,23 @@ def main():
                                         select_per_round=select)
     else:
         run = lambda: trav.closest_hit(scene, rays, tile_size=tile)
+    # Force completion via a value-dependent host readback:
+    # jax.block_until_ready does NOT reliably wait for remote completion on
+    # the tunneled (axon) TPU backend — timings based on it can read ~0 ms
+    # for 100+ ms computations. A float() pull of a reduction over the
+    # result cannot return before the device has produced it.
+    probe = jax.jit(lambda t: t[::257].sum())
+
     # Warmup / compile.
     res = run()
-    jax.block_until_ready(res.t)
+    float(probe(res.t))
     hit_frac = float(jnp.mean(res.hit))
 
     times = []
     for _ in range(reps):
         t1 = time.time()
         res = run()
-        jax.block_until_ready(res.t)
+        float(probe(res.t))
         times.append(time.time() - t1)
     best = min(times)
     mrays = n_rays / best / 1e6

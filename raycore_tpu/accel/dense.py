@@ -171,15 +171,24 @@ def _build_dense(sorted_tris: Triangle, cluster_size: int,
 
 
 def build_dense(tris: Triangle, cluster_size: int = 256,
-                sub_chunks: int = 1) -> DenseScene:
-    """Cluster + featurize a triangle soup. Triangles are Morton-sorted
+                sub_chunks: int = 1, layout: str = "tiles") -> DenseScene:
+    """Cluster + featurize a triangle soup. Triangles are spatially sorted
     first (clusters must be spatially coherent); capacity pads to a
-    multiple of cluster_size with far-away sentinels."""
-    from .lbvh import morton_sort_triangles
+    multiple of cluster_size with far-away sentinels.
+
+    layout="tiles" (default): count-balanced strip/slab/chunk sort —
+    clusters are compact axis-aligned tiles (~3-4x fewer phase-A
+    candidates than Morton chunks on heightfield-like scenes).
+    layout="morton": raw Morton-chunk clustering (one sort; marginally
+    cheaper build, fatter clusters)."""
+    from .lbvh import morton_sort_triangles, tile_sort_triangles
     from .types import next_pow2
     n = tris.vertices.shape[0]
     cap = max(next_pow2(n), cluster_size)
-    sorted_tris = morton_sort_triangles(tris, cap)   # no BVH needed here
+    if layout == "tiles":
+        sorted_tris = tile_sort_triangles(tris, cap, cluster_size)
+    else:
+        sorted_tris = morton_sort_triangles(tris, cap)   # no BVH needed
     return _build_dense(sorted_tris, cluster_size, sub_chunks)
 
 

@@ -258,6 +258,77 @@ def morton_sort_triangles(tris: Triangle, capacity: int) -> Triangle:
     return _morton_sort_padded(pad_triangles(tris, capacity))
 
 
+@partial(jax.jit, static_argnames=("axes", "s0", "s1"))
+def _tile_sort_padded(tris: Triangle, *, axes: tuple, s0: int, s1: int):
+    """Count-balanced 3-level spatial sort of a capacity-padded SoA:
+    equal-count strips along the longest scene axis, equal-count slabs
+    along the second within each strip, final order along the third.
+    Because capacity and the strip/slab counts are powers of two, every
+    boundary between cluster_size chunks is also a strip/slab boundary —
+    downstream fixed-size clusters are compact axis-aligned tiles instead
+    of Morton chunks (measured: Morton clusters' xy footprint is 3-9x the
+    ideal tile area on a 1M-tri heightfield, i.e. ~9 clusters overlap a
+    vertical ray where tiles give ~2; tools/measure_regroup_gain.py)."""
+    v = tris.vertices
+    bmin, bmax = _tri_bounds(v)
+    real = bmin[:, 0] < PAD_COORD / 2
+    scene_min = jnp.min(jnp.where(real[:, None], bmin, jnp.inf), axis=0)
+    scene_max = jnp.max(jnp.where(real[:, None], bmax, -jnp.inf), axis=0)
+    ext = jnp.maximum(scene_max - scene_min, 1e-12)
+    centers = 0.5 * (bmin + bmax)
+    q = jnp.clip((centers - scene_min) / ext * 65535.0, 0.0, 65535.0)
+    q = q.astype(jnp.int32)                              # (cap, 3)
+    N = v.shape[0]
+    iota = jnp.arange(N, dtype=jnp.int32)
+
+    def sort_perm(key):
+        _, perm = jax.lax.sort((key, iota), num_keys=1, is_stable=True)
+        return perm
+
+    # Pass 0: strips along the dominant axis; pads last globally.
+    key0 = jnp.where(real, q[:, axes[0]], jnp.int32(1 << 24))
+    perm = sort_perm(key0)
+    # Pass 1: slabs along the second axis inside each strip.
+    strip = iota // (N // s0)
+    realp = jnp.take(real, perm)
+    q1 = jnp.where(realp, jnp.take(q[:, axes[1]], perm), jnp.int32(65536))
+    perm = jnp.take(perm, sort_perm(strip * 65537 + q1))
+    # Pass 2: order along the third axis inside each slab.
+    slab = iota // (N // (s0 * s1))
+    realp = jnp.take(real, perm)
+    q2 = jnp.where(realp, jnp.take(q[:, axes[2]], perm), jnp.int32(65536))
+    perm = jnp.take(perm, sort_perm(slab * 65537 + q2))
+    return jax.tree_util.tree_map(lambda a: jnp.take(a, perm, axis=0), tris)
+
+
+def tile_sort_triangles(tris: Triangle, capacity: int,
+                        cluster_size: int) -> Triangle:
+    """Pad to capacity and sort into count-balanced spatial tiles of
+    ``cluster_size``. Strip/slab counts are powers of two chosen by
+    greedily halving the currently-longest scene extent (one small host
+    sync for the 6 scene-bound floats; the sort itself is jitted and
+    shape-bucketed like the Morton path)."""
+    import numpy as np
+    padded = pad_triangles(tris, capacity)
+    # Reduce on device, pull only 6 floats (vertices can be tens of MB and
+    # host transfers through the tunneled backend cost ~10 ms/MB).
+    vr = jnp.asarray(tris.vertices, jnp.float32).reshape(-1, 3)
+    lohi = np.asarray(jnp.concatenate([jnp.min(vr, 0), jnp.max(vr, 0)]))
+    lo, hi = lohi[:3], lohi[3:]
+    ext = np.maximum(hi - lo, 1e-12)
+    K = max(capacity // cluster_size, 1)
+    bits = [0, 0, 0]
+    e = ext.copy()
+    for _ in range(int(np.log2(K))):
+        a = int(np.argmax(e))
+        bits[a] += 1
+        e[a] *= 0.5
+    axes = tuple(int(a) for a in np.argsort(-np.asarray(bits, np.float64)
+                                            - ext / ext.max() * 0.5))
+    s0, s1 = 1 << bits[axes[0]], 1 << bits[axes[1]]
+    return _tile_sort_padded(padded, axes=axes, s0=s0, s1=s1)
+
+
 def build_blas(tris: Triangle, capacity: int | None = None) -> BLAS:
     """Build a BLAS from a Triangle SoA (any count >= 1).
 

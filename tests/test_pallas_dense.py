@@ -86,13 +86,19 @@ def test_pallas_worklist_t_ranges(scene):
 
 def test_overflow_detection(scene):
     o = jnp.zeros((64, 3)).at[:, 2].set(2.0)
-    rays = rc.Ray.create(o=o, d=jnp.broadcast_to(jnp.array([0.0, 0, -1.0]),
-                                                 (64, 3)))
+    # A spreading bundle (targets fan over the whole scene) so the tile's
+    # conservative candidate set must exceed one cluster even with tight
+    # tile-layout clusters.
+    ang = jnp.linspace(0.0, 2 * jnp.pi, 64, endpoint=False)
+    tgt = jnp.stack([jnp.cos(ang), jnp.sin(ang), -jnp.ones_like(ang)], -1)
+    d = tgt - o
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rays = rc.Ray.create(o=o, d=d)
     with pytest.raises(RuntimeError, match="overflow"):
         closest_hit_dense_pallas(scene, rays, tile=64, max_pairs_per_tile=1,
                                  passes=1)
     # Two-pass pruning usually keeps pass 2 under tiny capacities, but the
     # result must still be correct when it fits.
-    r = closest_hit_dense_pallas(scene, rays, tile=64, max_pairs_per_tile=4)
+    r = closest_hit_dense_pallas(scene, rays, tile=64, max_pairs_per_tile=32)
     rb = rc.closest_hit_brute(scene.prims, rays)
     np.testing.assert_array_equal(np.asarray(r.hit), np.asarray(rb.hit))
