@@ -33,9 +33,9 @@ def main():
 
     n_tris_target = int(os.environ.get("RAYCORE_BENCH_TRIS", 1_000_000))
     n_rays = int(os.environ.get("RAYCORE_BENCH_RAYS", 1_048_576))
-    tile = int(os.environ.get("RAYCORE_BENCH_TILE", 1024))
+    tile = int(os.environ.get("RAYCORE_BENCH_TILE", 512))
     reps = int(os.environ.get("RAYCORE_BENCH_REPS", 5))
-    engine = os.environ.get("RAYCORE_BENCH_ENGINE", "dense_pallas")
+    engine = os.environ.get("RAYCORE_BENCH_ENGINE", "dense_pallas_auto")
     cluster = int(os.environ.get("RAYCORE_BENCH_CLUSTER", 128))
     select = int(os.environ.get("RAYCORE_BENCH_SELECT", 4))
 
@@ -72,10 +72,25 @@ def main():
     xs = jnp.linspace(-0.95, 0.95, side, dtype=jnp.float32)
     X, Y = jnp.meshgrid(xs, xs, indexing="ij")
     o = jnp.stack([X, Y, jnp.full_like(X, 3.0)], -1)
-    # Blocked (square-tile) ray order: a dense-engine tile must be a
-    # spatially compact pixel block, not a scanline strip.
+    # Ray order: a dense-engine tile must be a spatially compact pixel
+    # block, not a scanline strip. "z" (default) = Morton pixel order —
+    # near-square blocks at EVERY power-of-two scale, so any kernel TILE
+    # gets its best-case footprint. "block" = square B x B tiles.
+    order = os.environ.get("RAYCORE_BENCH_ORDER", "z")
     B = int(os.environ.get("RAYCORE_BENCH_BLOCK", 32))
-    if side % B == 0:
+    if order == "z" and (side & (side - 1)) == 0:
+        ij = np.arange(side, dtype=np.uint64)
+        def _spread(v):
+            v = (v | (v << 8)) & np.uint64(0x00FF00FF)
+            v = (v | (v << 4)) & np.uint64(0x0F0F0F0F)
+            v = (v | (v << 2)) & np.uint64(0x33333333)
+            v = (v | (v << 1)) & np.uint64(0x55555555)
+            return v
+        zi = _spread(ij)
+        code = (zi[:, None] << np.uint64(1)) | zi[None, :]
+        zperm = np.argsort(code.reshape(-1), kind="stable")
+        o = jnp.asarray(np.asarray(o.reshape(-1, 3))[zperm])
+    elif order == "block" and side % B == 0:
         o = o.reshape(side // B, B, side // B, B, 3) \
              .transpose(0, 2, 1, 3, 4).reshape(-1, 3)
     else:
@@ -83,7 +98,10 @@ def main():
     d = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0], jnp.float32), o.shape)
     rays = rc.Ray.create(o=o, d=d)
 
-    if engine == "dense_pallas":
+    if engine == "dense_pallas_auto":
+        from raycore_tpu.ops.pallas_dense import closest_hit_dense_pallas_auto
+        run = lambda: closest_hit_dense_pallas_auto(scene, rays, tile=tile)
+    elif engine == "dense_pallas":
         cap = int(os.environ.get("RAYCORE_BENCH_CAP", 40))
         passes = int(os.environ.get("RAYCORE_BENCH_PASSES", 1))
         # Warmup validates capacity (raises on worklist overflow); timed
