@@ -47,7 +47,7 @@ def main():
 
     def do_build():
         # float() readbacks force real completion (see probe note below).
-        if engine.startswith("dense"):
+        if engine.startswith("dense") or engine == "regroup":
             sc = build_dense(mesh, cluster_size=cluster)
             float(sc.tri_feats[0, 0, 0])
         else:
@@ -98,7 +98,15 @@ def main():
     d = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0], jnp.float32), o.shape)
     rays = rc.Ray.create(o=o, d=d)
 
-    if engine == "dense_pallas_auto":
+    if engine == "regroup":
+        from raycore_tpu.ops.pallas_regroup import closest_hit_regrouped
+        G = int(os.environ.get("RAYCORE_BENCH_SUBGROUP", 32))
+        SPB = int(os.environ.get("RAYCORE_BENCH_SPB", 16))
+        combine = os.environ.get("RAYCORE_BENCH_COMBINE", "sort")
+        run = lambda: closest_hit_regrouped(scene, rays, tile=tile,
+                                            subgroup=G, spb=SPB,
+                                            combine=combine)
+    elif engine == "dense_pallas_auto":
         from raycore_tpu.ops.pallas_dense import closest_hit_dense_pallas_auto
         run = lambda: closest_hit_dense_pallas_auto(scene, rays, tile=tile)
     elif engine == "dense_pallas":

@@ -1,0 +1,413 @@
+"""Cluster-major regrouped Pallas sweep — per-subgroup candidate lists.
+
+The worklist kernel in pallas_dense.py tests each candidate cluster
+against a whole 512-1024-ray tile, so every ray pays for the union of
+its tile's candidates (~22 clusters x 128 tris measured vs ~32 useful
+triangles — docs/performance.md). This engine shrinks the candidate
+granularity to G=32-ray *subgroups* while keeping the block shape the
+MXU wants:
+
+  1. Coarse phase A (per-tile interval culling, unchanged) emits
+     (tile, cluster) pairs.
+  2. Each surviving pair is refined against the tile's TILE/G subgroups
+     (same interval test on per-subgroup stats) — pure XLA, ~60 flops
+     per (pair, subgroup).
+  3. Surviving (subgroup, cluster) candidates are sorted cluster-major
+     and packed into blocks of SPB=16 subgroups that all need the SAME
+     cluster; each cluster's list is padded to a block boundary with
+     dummy-subgroup slots.
+  4. The kernel gathers the 16 subgroups' ray-table rows via 16 small
+     BlockSpec DMAs (scalar-prefetched indices), assembles a (512, 16)
+     ray operand, runs ONE (512,16)@(16,4C) fp32 matmul + the
+     Möller–Trumbore epilogue, and writes per-row (t-bits key, prim)
+     exactly once — no carried bests, no revisiting, no aliasing.
+  5. A ray appears once per candidate cluster, so duplicates are merged
+     outside the kernel: sort rows by (ray, key) + take the first per
+     ray (or segment_min), then one scatter back to ray order.
+
+Semantics match the tile worklist engine (same featurized MT with
+EDGE_EPS slack, same exact scalar finalize) with one improvement: keys
+carry FULL-precision t bits (the tile engine truncates 7 mantissa bits
+for its packed carried key), so the winner is the strict closest hit up
+to featurized-evaluation rounding. Candidate sets stay conservative
+supersets of the reachable clusters per ray, so results stay exact.
+
+Reference hot-loop parity target: fast_intersect_triangle semantics
+(/root/reference/src/instanced-bvh.jl:1756-1797) via the featurized
+bilinear forms of accel/dense.py.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.triangle import safe_invdir
+from .pallas_dense import (FEAT, _MATMUL_PRECISION, _t_from_keys,
+                           build_worklist, phase_a_entry)
+
+INT32_MAX = 0x7FFFFFFF  # plain int: jnp constants can't be captured by kernels
+
+# Ray-table layout: ray_features cols 0:13 (d, o x d, o, 1, invd) plus
+# t_min in col 13 and t_max in col 14. Triangle feature rows 13/14 are
+# zero, so the extra columns never perturb the matmul.
+COL_TMIN = 13
+COL_TMAX = 14
+
+
+def ray_table(o, d, t_min, t_max, G: int):
+    """(n_sub + 1, G, FEAT) per-subgroup ray table; the trailing dummy
+    subgroup (zeros, t_max=-inf) absorbs padding slots."""
+    from ..accel.dense import ray_features
+    R = o.shape[0]
+    n_sub = R // G
+    phi = ray_features(o, d)
+    phi = phi.at[:, COL_TMIN].set(t_min)
+    phi = phi.at[:, COL_TMAX].set(t_max)
+    tbl = phi.reshape(n_sub, G, FEAT)
+    dummy = jnp.zeros((1, G, FEAT), jnp.float32) \
+        .at[:, :, COL_TMAX].set(-jnp.inf)
+    return jnp.concatenate([tbl, dummy])
+
+
+def subgroup_stats(o, d, t_min, t_max, G: int):
+    """(n_tiles*, SPT-grouped) interval stats per G-ray subgroup:
+    cols [o_lo(3) o_hi(3) i_lo(3) i_hi(3) tmin_lo tmax_hi] -> (n_sub, 14)."""
+    R = o.shape[0]
+    n_sub = R // G
+    invd = safe_invdir(jnp.where(d == 0.0, 0.0, d))
+    shp = lambda a: a.reshape((n_sub, G) + a.shape[1:])
+    o_t, i_t = shp(o), shp(invd)
+    return jnp.concatenate([
+        jnp.min(o_t, 1), jnp.max(o_t, 1),
+        jnp.min(i_t, 1), jnp.max(i_t, 1),
+        jnp.min(shp(t_min), 1)[:, None],
+        jnp.max(shp(t_max), 1)[:, None]], axis=1)
+
+
+def refine_pairs(stats, tids, cids, cluster_min, cluster_max,
+                 SPT: int, n_tiles: int):
+    """Interval-test each coarse (tile, cluster) pair against the tile's
+    SPT subgroups. Returns (P, SPT) conservative entry bounds (+inf =
+    provably no ray of the subgroup enters the cluster)."""
+    P = tids.shape[0]
+    n_sub = stats.shape[0]
+    # Gather at tile granularity: one (SPT*14)-wide row per pair.
+    stats_t = stats.reshape(n_tiles, SPT * 14)
+    stats_t = jnp.concatenate(
+        [stats_t, jnp.zeros((1, SPT * 14), jnp.float32)])    # dummy tile
+    st = jnp.take(stats_t, jnp.minimum(tids, n_tiles), axis=0) \
+        .reshape(P, SPT, 14)
+    bmin = jnp.take(cluster_min, cids, axis=0)               # (P, 3)
+    bmax = jnp.take(cluster_max, cids, axis=0)
+
+    t_lo = jnp.full((P, SPT), -jnp.inf)
+    t_hi = jnp.full((P, SPT), jnp.inf)
+    for a in range(3):
+        lo8 = jnp.full((P, SPT), jnp.inf)
+        hi8 = jnp.full((P, SPT), -jnp.inf)
+        for b in (bmin[:, a:a + 1], bmax[:, a:a + 1]):       # (P, 1)
+            for oc in (st[:, :, a], st[:, :, 3 + a]):        # (P, SPT)
+                diff = b - oc
+                for ic in (st[:, :, 6 + a], st[:, :, 9 + a]):
+                    prod = diff * ic
+                    lo8 = jnp.minimum(lo8, prod)
+                    hi8 = jnp.maximum(hi8, prod)
+        t_lo = jnp.maximum(t_lo, lo8)
+        t_hi = jnp.minimum(t_hi, hi8)
+    entry = jnp.maximum(t_lo, st[:, :, 12])
+    exit_ = jnp.minimum(t_hi, st[:, :, 13])
+    ok = (entry <= exit_) & (tids < n_tiles)[:, None]
+    return jnp.where(ok, entry, jnp.inf)
+
+
+def group_cluster_major(tids, cids, fine_entry, *, SPT: int, SPB: int,
+                        n_sub: int, B_cap: int, K: int):
+    """Pack surviving (subgroup, cluster) candidates into cluster-major
+    blocks of SPB subgroups. Returns (block_cid (B_cap,), block_subs
+    (B_cap, SPB), total_blocks). block_cid = -1 marks padding blocks;
+    padding slots point at the dummy subgroup ``n_sub``."""
+    P = tids.shape[0]
+    N = P * SPT
+    sub = (tids[:, None] * SPT
+           + jnp.arange(SPT, dtype=jnp.int32)[None, :]).reshape(N)
+    cid = jnp.broadcast_to(cids[:, None], (P, SPT)).reshape(N)
+    valid = jnp.isfinite(fine_entry).reshape(N)
+    cid_k = jnp.where(valid, cid, K)              # invalids sort last
+    cid_s, sub_s = jax.lax.sort((cid_k, sub), num_keys=1, is_stable=False)
+    valid_s = cid_s < K
+
+    i = jnp.arange(N, dtype=jnp.int32)
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), cid_s[1:] != cid_s[:-1]])
+    first = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(boundary, i, 0))
+    rank = i - first
+    slot = rank % SPB
+    starts = valid_s & (slot == 0)
+    block_id = jnp.cumsum(starts.astype(jnp.int32)) - 1
+    total = jnp.sum(starts.astype(jnp.int32))
+    block_id = jnp.where(valid_s, block_id, B_cap)          # drop invalid
+
+    block_cid = jnp.full((B_cap,), -1, jnp.int32).at[
+        jnp.where(starts, block_id, B_cap)].set(cid_s, mode="drop")
+    block_subs = jnp.full((B_cap, SPB), n_sub, jnp.int32).at[
+        block_id, slot].set(sub_s, mode="drop")
+    return block_cid, block_subs, total
+
+
+def _kernel(subs_ref, cids_ref, *refs, C: int, G: int, SPB: int,
+            edge_eps: float):
+    tbl_refs = refs[:SPB]
+    feats_ref = refs[SPB]
+    key_out, pair_out = refs[SPB + 1], refs[SPB + 2]
+    b = pl.program_id(0)
+    cid = cids_ref[b]
+
+    @pl.when(cid >= 0)
+    def _():
+        tbl = jnp.concatenate([r[0] for r in tbl_refs], axis=0)  # (ROWS,16)
+        feats = feats_ref[0]                                     # (16, 4C)
+        tmin = tbl[:, COL_TMIN:COL_TMIN + 1]
+        tmax = tbl[:, COL_TMAX:COL_TMAX + 1]
+        # Zero the tmin/tmax carrier columns for the matmul: their feature
+        # rows are zero, but inf * 0 = NaN would poison every quantity.
+        cols = jax.lax.broadcasted_iota(jnp.int32, tbl.shape, 1)
+        phi_mm = jnp.where(cols >= COL_TMIN, 0.0, tbl)
+        q = jax.lax.dot_general(
+            phi_mm, feats, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_MATMUL_PRECISION)                         # (ROWS,4C)
+        det = q[:, 0 * C:1 * C]
+        udet = q[:, 1 * C:2 * C]
+        vdet = q[:, 2 * C:3 * C]
+        tdet = q[:, 3 * C:4 * C]
+        r = 1.0 / det
+        u = udet * r
+        v = vdet * r
+        t = tdet * r
+        e = edge_eps
+        ok = (u >= -e) & (u <= 1.0 + e) & (v >= -e) & (u + v <= 1.0 + e) \
+            & (t >= tmin) & (t <= tmax)
+        # Full-precision t bits as the key (strict closest semantics —
+        # no mantissa truncation), winning lane via a second reduction
+        # (measured neutral vs the packed single-reduction variant).
+        kb = jax.lax.bitcast_convert_type(jnp.maximum(t, 0.0), jnp.int32)
+        kb = jnp.where(ok, kb, INT32_MAX)
+        key_min = jnp.min(kb, axis=1, keepdims=True)             # (ROWS,1)
+        ids = jax.lax.broadcasted_iota(jnp.int32, kb.shape, 1)
+        lane = jnp.min(jnp.where(kb == key_min, ids, jnp.int32(C)),
+                       axis=1, keepdims=True)   # smallest prim on ties
+        key_out[:] = key_min
+        pair_out[:] = jnp.where(key_min == INT32_MAX, -1,
+                                cid * C + lane)
+
+
+REGROUP_CHUNK = 4096    # blocks per pallas_call (scalar ids live in SMEM)
+
+
+@partial(jax.jit, static_argnames=("G", "SPB", "C", "n_blocks", "interpret"))
+def run_regrouped(block_subs, block_cid, tbl, feats, *, G: int, SPB: int,
+                  C: int, n_blocks: int, interpret: bool):
+    """Sweep ``n_blocks`` cluster-major blocks. Returns (key, pair) of
+    shape (n_blocks*SPB*G,) in block-row order (use block_subs for the
+    row -> ray mapping)."""
+    ROWS = G * SPB
+    kernel = partial(_kernel, C=C, G=G, SPB=SPB, edge_eps=1e-5)
+
+    # Scalar-prefetch arrays live in SMEM, where 2D minor dims pad to the
+    # 128-lane width (8x waste) — pass the subgroup ids flattened 1D.
+    def tbl_spec(s):
+        return pl.BlockSpec(
+            (1, G, FEAT),
+            lambda b, subs, cids, s=s: (subs[b * SPB + s], 0, 0))
+
+    keys, pairs = [], []
+    n_chunks = -(-n_blocks // REGROUP_CHUNK)
+    for ch in range(n_chunks):
+        lo = ch * REGROUP_CHUNK
+        sz = min(REGROUP_CHUNK, n_blocks - lo)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(sz,),
+            in_specs=[tbl_spec(s) for s in range(SPB)] + [
+                pl.BlockSpec((1, FEAT, 4 * C),
+                             lambda b, subs, cids: (jnp.maximum(cids[b], 0),
+                                                    0, 0)),
+            ],
+            out_specs=[pl.BlockSpec((ROWS, 1), lambda b, subs, cids: (b, 0))
+                       ] * 2,
+        )
+        k, p = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((sz * ROWS, 1), jnp.int32)] * 2,
+            interpret=interpret,
+        )(block_subs[lo:lo + sz].reshape(-1), block_cid[lo:lo + sz],
+          *([tbl] * SPB), feats)
+        keys.append(k[:, 0])
+        pairs.append(p[:, 0])
+    if not keys:
+        z = jnp.zeros((0,), jnp.int32)
+        return z, z
+    return jnp.concatenate(keys), jnp.concatenate(pairs)
+
+
+def combine_rows_grouped(keys, pairs, block_subs, n_blocks: int, G: int,
+                         SPB: int, n_sub: int, max_run: int):
+    """Merge per-(subgroup, cluster) result rows into per-subgroup bests
+    WITHOUT touching individual scalar rows: rows stay (subgroup-row, G)
+    shaped, only the n_blocks*SPB subgroup ids are argsorted; duplicates
+    (one row per candidate cluster) then form contiguous runs merged by a
+    log-shift segmented min (max_run bounds the run length = the largest
+    candidate-cluster count any subgroup can have). ~25x cheaper than
+    sorting the scalar rows (measured 48 ms -> this path amortizes to a
+    few ms inside the fused stage2). Returns per-ray (key, pair) of
+    shape (n_sub*G,)."""
+    n_rows = n_blocks * SPB
+    kr = keys.reshape(n_rows, G)
+    pr = pairs.reshape(n_rows, G)
+    subs = block_subs[:n_blocks].reshape(n_rows)
+    order = jnp.argsort(subs)
+    subs_s = jnp.take(subs, order)
+    kr = jnp.take(kr, order, axis=0)
+    pr = jnp.take(pr, order, axis=0)
+    shift = 1
+    while shift < max_run:
+        same = subs_s == jnp.roll(subs_s, -shift)
+        k2 = jnp.roll(kr, -shift, axis=0)
+        p2 = jnp.roll(pr, -shift, axis=0)
+        better = same[:, None] & ((k2 < kr) | ((k2 == kr) & (p2 < pr)))
+        pr = jnp.where(better, p2, pr)
+        kr = jnp.where(better, k2, kr)
+        shift *= 2
+    firstpos = jnp.minimum(
+        jnp.searchsorted(subs_s, jnp.arange(n_sub, dtype=subs_s.dtype)),
+        n_rows - 1)
+    present = jnp.take(subs_s, firstpos) == jnp.arange(n_sub)
+    kk = jnp.where(present[:, None], jnp.take(kr, firstpos, axis=0),
+                   INT32_MAX)
+    pp = jnp.where(present[:, None], jnp.take(pr, firstpos, axis=0), -1)
+    return kk.reshape(-1), pp.reshape(-1)
+
+
+def combine_rows(keys, pairs, ray_ids, n_segments: int, method: str = "sort"):
+    """Merge per-(subgroup, cluster) rows into per-ray bests.
+    Rows with key == INT32_MAX (no candidate hit) and rows mapping to the
+    dummy segment are naturally dropped (INT32_MAX decodes to NaN)."""
+    if method == "segment":
+        seg_key = jax.ops.segment_min(keys, ray_ids,
+                                      num_segments=n_segments)
+        pick = (keys == jnp.take(seg_key, ray_ids)) & (keys != INT32_MAX)
+        seg_pair = jax.ops.segment_min(
+            jnp.where(pick, pairs, INT32_MAX), ray_ids,
+            num_segments=n_segments)
+        seg_pair = jnp.where(seg_pair == INT32_MAX, -1, seg_pair)
+        return seg_key, seg_pair
+    # num_keys=3: exact-equal t resolves to the smallest prim index,
+    # matching the brute oracle's first-wins argmin.
+    rk, kk, pk = jax.lax.sort((ray_ids, keys, pairs), num_keys=3,
+                              is_stable=False)
+    pk = jnp.where(kk == INT32_MAX, -1, pk)       # no-candidate rows
+    firstmask = jnp.concatenate([jnp.ones((1,), bool), rk[1:] != rk[:-1]])
+    idx = jnp.where(firstmask, rk, n_segments)        # dups -> dropped
+    out_key = jnp.full((n_segments,), INT32_MAX, jnp.int32).at[idx].set(
+        kk, mode="drop")
+    out_pair = jnp.full((n_segments,), -1, jnp.int32).at[idx].set(
+        pk, mode="drop")
+    return out_key, out_pair
+
+
+@partial(jax.jit, static_argnames=("TILE", "G", "SPB", "P_cap", "interpret"))
+def _stage1(scene, o, d, t_min, t_max, *, TILE: int, G: int, SPB: int,
+            P_cap: int, interpret: bool):
+    """Phase A -> coarse worklist -> subgroup refine -> cluster-major
+    grouping. Returns everything the sweep stage needs plus the runtime
+    totals (coarse pairs, blocks) for host-side grid sizing."""
+    K = scene.n_clusters
+    SPT = TILE // G
+    R = o.shape[0]
+    n_tiles = R // TILE
+    n_sub = R // G
+    B_cap = P_cap * SPT // SPB + K + 1
+
+    entry = phase_a_entry(scene, o, d, t_min, t_max, n_tiles, TILE,
+                          interpret)
+    tids, cids, coarse_total = build_worklist(entry, P_cap)
+    stats = subgroup_stats(o, d, t_min, t_max, G)
+    fine = refine_pairs(stats, tids, cids, scene.cluster_min,
+                        scene.cluster_max, SPT, n_tiles)
+    block_cid, block_subs, total = group_cluster_major(
+        tids, cids, fine, SPT=SPT, SPB=SPB, n_sub=n_sub, B_cap=B_cap, K=K)
+    tbl = ray_table(o, d, t_min, t_max, G)
+    return block_cid, block_subs, tbl, total, coarse_total
+
+
+@partial(jax.jit, static_argnames=("G", "SPB", "n_blocks", "interpret",
+                                   "combine", "R_pad"))
+def _stage2(scene, block_cid, block_subs, tbl, o, d, *, G: int, SPB: int,
+            n_blocks: int, interpret: bool, combine: str, R_pad: int):
+    from ..accel.dense import finalize_hits_exact
+    C = scene.cluster_size
+    R = o.shape[0]
+    n_sub = R_pad // G
+    key, pair = run_regrouped(block_subs, block_cid, tbl, scene.tri_feats,
+                              G=G, SPB=SPB, C=C, n_blocks=n_blocks,
+                              interpret=interpret)
+    if combine == "grouped":
+        out_key, out_pair = combine_rows_grouped(
+            key, pair, block_subs, n_blocks, G, SPB, n_sub,
+            max_run=scene.n_clusters)
+    else:
+        row_ray = (block_subs[:n_blocks, :, None] * G
+                   + jnp.arange(G, dtype=jnp.int32)).reshape(-1)
+        out_key, out_pair = combine_rows(key, pair, row_ray, R_pad + G,
+                                         method=combine)
+    t = _t_from_keys(out_key[:R], 0)        # full-precision keys
+    return finalize_hits_exact(scene, out_pair[:R], t, o, d)
+
+
+def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
+                          spb: int = 16, pairs_per_tile: int = 48,
+                          combine: str = "grouped"):
+    """Exact closest hit via the cluster-major regrouped sweep. One host
+    sync reads the true block count and pow2-buckets the kernel grid
+    (same auto-sizing contract as closest_hit_dense_pallas_auto)."""
+    if scene.sub_chunks != 1:
+        raise ValueError("regrouped engine requires sub_chunks=1 scenes")
+    interpret = jax.default_backend() != "tpu"
+    batch = rays.batch_shape
+    flat = lambda a: a.reshape((-1,) + a.shape[len(batch):])
+    o, d = flat(rays.o), flat(rays.d)
+    t_min, t_max = flat(rays.t_min), flat(rays.t_max)
+    R0 = o.shape[0]
+    TILE = min(tile, max(R0, subgroup))
+    G = min(subgroup, TILE)
+    SPB = spb
+    d = jnp.where(d == 0.0, 0.0, d)
+    pad = (-R0) % TILE
+    if pad:
+        ext = lambda a, f: jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], f, a.dtype)])
+        o, d = ext(o, 0.0), ext(d, 1.0)
+        t_min, t_max = ext(t_min, 0.0), ext(t_max, -jnp.inf)
+    n_tiles = o.shape[0] // TILE
+    P_cap = min(pairs_per_tile * n_tiles, n_tiles * scene.n_clusters)
+
+    for _ in range(4):
+        block_cid, block_subs, tbl, total, coarse = _stage1(
+            scene, o, d, t_min, t_max, TILE=TILE, G=G, SPB=SPB,
+            P_cap=P_cap, interpret=interpret)
+        if int(coarse) <= P_cap:
+            break
+        P_cap = min(2 * P_cap, n_tiles * scene.n_clusters)
+    nb = int(total)                         # the one host sync
+    nb = 1 << max(9, (max(nb, 1) - 1).bit_length())
+    nb = min(nb, block_cid.shape[0])
+    res = _stage2(scene, block_cid, block_subs, tbl, o[:R0], d[:R0],
+                  G=G, SPB=SPB, n_blocks=nb, interpret=interpret,
+                  combine=combine, R_pad=o.shape[0])
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape(batch + a.shape[1:]), res)

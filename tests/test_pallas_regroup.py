@@ -1,0 +1,103 @@
+"""Parity tests for the cluster-major regrouped sweep (ops/pallas_regroup).
+
+Oracle: brute-force closest hit over the same sorted triangle soup —
+the same contract the tile-worklist Pallas engine is tested against.
+Hot-loop semantics target the reference's fast_intersect_triangle
+(/root/reference/src/instanced-bvh.jl:1756-1797).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import raycore_tpu as rc
+from raycore_tpu.accel.brute import closest_hit_brute
+from raycore_tpu.accel.dense import build_dense
+from raycore_tpu.ops.pallas_regroup import closest_hit_regrouped
+
+
+def _scene_and_rays(n=40, C=128, R=1024, seed=0, coherent=False):
+    mesh = rc.displaced_grid_mesh(n=n, extent=2.0, amplitude=0.35)
+    scene = build_dense(mesh, cluster_size=C)
+    rng = np.random.default_rng(seed)
+    if coherent:
+        side = int(np.sqrt(R))
+        R = side * side
+        xs = np.linspace(-0.9, 0.9, side, dtype=np.float32)
+        X, Y = np.meshgrid(xs, xs, indexing="ij")
+        o = np.stack([X, Y, np.full_like(X, 3.0)], -1).reshape(-1, 3)
+        d = np.broadcast_to(np.array([0, 0, -1], np.float32), o.shape)
+    else:
+        o = rng.uniform(-1, 1, (R, 3)).astype(np.float32)
+        o[:, 2] = 2.0
+        d = rng.normal(size=(R, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        d[:, 2] = -np.abs(d[:, 2]) - 0.3
+    rays = rc.Ray.create(o=jnp.asarray(o), d=jnp.asarray(np.ascontiguousarray(d)))
+    return scene, rays
+
+
+def _check(ref, got):
+    assert np.array_equal(np.asarray(ref.hit), np.asarray(got.hit))
+    both = np.asarray(ref.hit)
+    # t matches everywhere both hit (shared-edge ties have equal t).
+    np.testing.assert_allclose(np.asarray(got.t)[both],
+                               np.asarray(ref.t)[both], rtol=2e-5, atol=2e-6)
+    # Shared-edge / near-coplanar hits are fp32 rounding-level ties — the
+    # oracle's own winner is rounding-determined there. Any differing
+    # winner must be an ulp-level t tie; the bulk must match exactly.
+    # (Coherent grids can put whole ray columns exactly on mesh lattice
+    # lines — e.g. x = -0.9 — so tie rates up to tens of percent are
+    # geometry, not bugs; the ulp check below is the real contract.)
+    pm = np.asarray(ref.prim_idx)[both] == np.asarray(got.prim_idx)[both]
+    assert pm.mean() >= 0.7
+    if not pm.all():
+        rt = np.asarray(ref.t)[both][~pm]
+        gt = np.asarray(got.t)[both][~pm]
+        assert np.max(np.abs(gt - rt) / np.maximum(rt, 1e-6)) < 2e-6
+
+
+@pytest.mark.parametrize("combine", ["grouped", "sort", "segment"])
+def test_regroup_parity_incoherent(combine):
+    scene, rays = _scene_and_rays()
+    ref = closest_hit_brute(scene.prims, rays)
+    got = closest_hit_regrouped(scene, rays, combine=combine)
+    _check(ref, got)
+
+
+@pytest.mark.parametrize("C,G,SPB", [(128, 32, 16), (64, 32, 16),
+                                     (128, 16, 32)])
+def test_regroup_parity_configs(C, G, SPB):
+    scene, rays = _scene_and_rays(C=C, coherent=True)
+    ref = closest_hit_brute(scene.prims, rays)
+    got = closest_hit_regrouped(scene, rays, subgroup=G, spb=SPB)
+    _check(ref, got)
+
+
+def test_regroup_respects_t_range():
+    scene, rays = _scene_and_rays(coherent=True, R=256)
+    ref = closest_hit_brute(scene.prims, rays)
+    # t_max below every hit distance => all misses.
+    near = rays.replace(t_max=jnp.full_like(rays.t_max, 0.5))
+    got = closest_hit_regrouped(scene, near)
+    assert not bool(np.asarray(got.hit).any())
+    # t_min beyond every hit => all misses.
+    far = rays.replace(t_min=jnp.full_like(rays.t_min, 100.0))
+    got = closest_hit_regrouped(scene, far)
+    assert not bool(np.asarray(got.hit).any())
+    # Wide-open range reproduces the oracle.
+    _check(ref, closest_hit_regrouped(scene, rays))
+
+
+def test_regroup_ragged_batch_and_2d():
+    scene, rays = _scene_and_rays(R=777)      # not a multiple of TILE
+    ref = closest_hit_brute(scene.prims, rays)
+    got = closest_hit_regrouped(scene, rays)
+    _check(ref, got)
+    # 2D batch shape round-trips.
+    r2 = jax.tree_util.tree_map(
+        lambda a: a[:750].reshape((25, 30) + a.shape[1:]), rays)
+    got2 = closest_hit_regrouped(scene, r2)
+    assert got2.hit.shape == (25, 30)
+
+
+import jax  # noqa: E402  (used by the ragged test)
