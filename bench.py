@@ -102,10 +102,11 @@ def main():
         from raycore_tpu.ops.pallas_regroup import closest_hit_regrouped
         G = int(os.environ.get("RAYCORE_BENCH_SUBGROUP", 32))
         SPB = int(os.environ.get("RAYCORE_BENCH_SPB", 16))
-        combine = os.environ.get("RAYCORE_BENCH_COMBINE", "sort")
+        combine = os.environ.get("RAYCORE_BENCH_COMBINE", "grouped")
+        passes = int(os.environ.get("RAYCORE_BENCH_PASSES", 2))
         run = lambda: closest_hit_regrouped(scene, rays, tile=tile,
                                             subgroup=G, spb=SPB,
-                                            combine=combine)
+                                            combine=combine, passes=passes)
     elif engine == "dense_pallas_auto":
         from raycore_tpu.ops.pallas_dense import closest_hit_dense_pallas_auto
         run = lambda: closest_hit_dense_pallas_auto(scene, rays, tile=tile)

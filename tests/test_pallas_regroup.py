@@ -64,12 +64,15 @@ def test_regroup_parity_incoherent(combine):
     _check(ref, got)
 
 
-@pytest.mark.parametrize("C,G,SPB", [(128, 32, 16), (64, 32, 16),
-                                     (128, 16, 32)])
-def test_regroup_parity_configs(C, G, SPB):
+@pytest.mark.parametrize("C,G,SPB,passes", [(128, 32, 16, 2),
+                                            (128, 32, 16, 1),
+                                            (64, 32, 16, 2),
+                                            (128, 16, 32, 2)])
+def test_regroup_parity_configs(C, G, SPB, passes):
     scene, rays = _scene_and_rays(C=C, coherent=True)
     ref = closest_hit_brute(scene.prims, rays)
-    got = closest_hit_regrouped(scene, rays, subgroup=G, spb=SPB)
+    got = closest_hit_regrouped(scene, rays, subgroup=G, spb=SPB,
+                                passes=passes)
     _check(ref, got)
 
 
