@@ -224,6 +224,7 @@ def _phase_a_tile_entry(scene: DenseScene, o, d, invd, t_min, t_max,
 
     t_lo_lb = jnp.full((n_tiles, K), -jnp.inf)
     t_hi_ub = jnp.full((n_tiles, K), jnp.inf)
+    CL = jnp.float32(0.99e5)   # safe_invdir clamp detector (clamp = 1e5)
     for a in range(3):
         lo8 = jnp.full((n_tiles, K), jnp.inf)
         hi8 = jnp.full((n_tiles, K), -jnp.inf)
@@ -234,11 +235,18 @@ def _phase_a_tile_entry(scene: DenseScene, o, d, invd, t_min, t_max,
                     p = diff * ic
                     lo8 = jnp.minimum(lo8, p)
                     hi8 = jnp.maximum(hi8, p)
-        # Per-ray t_lo_axis = min(two products) >= lo8; t_hi_axis <= hi8,
-        # so entry = max_axis t_lo_axis >= max_axis lo8 and
-        # exit = min_axis t_hi_axis <= min_axis hi8.
-        t_lo_lb = jnp.maximum(t_lo_lb, lo8)
-        t_hi_ub = jnp.minimum(t_hi_ub, hi8)
+        # A ray with d[a] ~ 0 (safe_invdir clamped) whose origin lies
+        # inside this slab never exits it, but the clamped products say it
+        # does at |o-b|*1e5 — a false early exit that can DROP a truly
+        # hit cluster when the origin sits within ~t*1e-5 of the slab
+        # face. Widen the axis to (-inf, inf) whenever the bundle may
+        # contain such a ray.
+        par = (i_hi[:, a:a + 1] >= CL) | (i_lo[:, a:a + 1] <= -CL)
+        ovl = (o_hi[:, a:a + 1] >= bmin[None, :, a]) \
+            & (o_lo[:, a:a + 1] <= bmax[None, :, a])
+        wide = par & ovl
+        t_lo_lb = jnp.maximum(t_lo_lb, jnp.where(wide, -jnp.inf, lo8))
+        t_hi_ub = jnp.minimum(t_hi_ub, jnp.where(wide, jnp.inf, hi8))
 
     entry_lb = jnp.maximum(t_lo_lb, tmin_lo[:, None])
     exit_ub = jnp.minimum(t_hi_ub, tmax_hi[:, None])

@@ -237,6 +237,7 @@ def _phase_a_kernel(stats_ref, bounds_ref, entry_out):
     K = bounds_ref.shape[1]
     t_lo = jnp.full((TN, K), -jnp.inf, jnp.float32)
     t_hi = jnp.full((TN, K), jnp.inf, jnp.float32)
+    CL = jnp.float32(0.99e5)   # safe_invdir clamp detector
     for a in range(3):
         blo = bounds_ref[a, :][None, :]
         bhi = bounds_ref[3 + a, :][None, :]
@@ -249,8 +250,14 @@ def _phase_a_kernel(stats_ref, bounds_ref, entry_out):
                     prod = diff * ic
                     lo8 = jnp.minimum(lo8, prod)
                     hi8 = jnp.maximum(hi8, prod)
-        t_lo = jnp.maximum(t_lo, lo8)
-        t_hi = jnp.minimum(t_hi, hi8)
+        # Clamped-invdir slab tests falsely evict near-parallel rays whose
+        # origin sits inside the slab within ~t*1e-5 of a face (see
+        # dense._phase_a_tile_entry); widen the axis for such bundles.
+        par = (stats[:, 9 + a:10 + a] >= CL) | (stats[:, 6 + a:7 + a] <= -CL)
+        ovl = (stats[:, 3 + a:4 + a] >= blo) & (stats[:, a:a + 1] <= bhi)
+        wide = par & ovl
+        t_lo = jnp.maximum(t_lo, jnp.where(wide, -jnp.inf, lo8))
+        t_hi = jnp.minimum(t_hi, jnp.where(wide, jnp.inf, hi8))
     entry = jnp.maximum(t_lo, stats[:, 12:13])
     exit_ = jnp.minimum(t_hi, stats[:, 13:14])
     entry_out[:] = jnp.where(entry <= exit_, entry, jnp.inf)

@@ -106,6 +106,7 @@ def refine_pairs(stats, tids, cids, cluster_min, cluster_max,
 
     t_lo = jnp.full((P, SPT), -jnp.inf)
     t_hi = jnp.full((P, SPT), jnp.inf)
+    CL = jnp.float32(0.99e5)   # safe_invdir clamp detector
     for a in range(3):
         lo8 = jnp.full((P, SPT), jnp.inf)
         hi8 = jnp.full((P, SPT), -jnp.inf)
@@ -116,8 +117,16 @@ def refine_pairs(stats, tids, cids, cluster_min, cluster_max,
                     prod = diff * ic
                     lo8 = jnp.minimum(lo8, prod)
                     hi8 = jnp.maximum(hi8, prod)
-        t_lo = jnp.maximum(t_lo, lo8)
-        t_hi = jnp.minimum(t_hi, hi8)
+        # Near-parallel rays inside the slab never exit it; the clamped
+        # products say they exit at |o-b|*1e5, which can drop a truly hit
+        # cluster (found at 1M scale, C=64: ~1e-4 of rays). Widen the
+        # axis when the subgroup may contain such a ray.
+        par = (st[:, :, 9 + a] >= CL) | (st[:, :, 6 + a] <= -CL)
+        ovl = (st[:, :, 3 + a] >= bmin[:, a:a + 1]) \
+            & (st[:, :, a] <= bmax[:, a:a + 1])
+        wide = par & ovl
+        t_lo = jnp.maximum(t_lo, jnp.where(wide, -jnp.inf, lo8))
+        t_hi = jnp.minimum(t_hi, jnp.where(wide, jnp.inf, hi8))
     entry = jnp.maximum(t_lo, st[:, :, 12])
     exit_ = jnp.minimum(t_hi, st[:, :, 13])
     ok = (entry <= exit_) & (tids < n_tiles)[:, None]
