@@ -21,6 +21,9 @@ import numpy as np
 
 
 def main():
+    # Persistent compile cache: tunnel-side compiles run minutes for the
+    # big configs; cache them across bench processes.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
     import jax
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         jax.config.update("jax_platforms", "cpu")

@@ -64,39 +64,55 @@ class DenseScene:
     sub_bounds: jnp.ndarray    # (K, 1, 128) f32; cols [s*6:(s+1)*6] hold
                                # sub-chunk s's [min xyz, max xyz]
     prims: Triangle            # (K*C, ...) sorted order (cluster-major)
-    prims_packed: jnp.ndarray  # (K*C, 40) f32: v(9) n(9) tg(9) uv(6) meta pad
+    prims_hot: jnp.ndarray     # (K*C, 10) f32: v(9) meta — the per-hit
+                               # gather row; cold fields (normals/tangents/
+                               # uv) come straight from ``prims``, gated by
+                               # payload_mask (TPU gathers are row-latency
+                               # bound, so narrower rows = faster finalize)
     root_aabb: jnp.ndarray     # (2, 3)
     n_prims: int = struct.field(pytree_node=False)
     cluster_size: int = struct.field(pytree_node=False)
     sub_chunks: int = struct.field(pytree_node=False, default=4)
+    payload_mask: int = struct.field(pytree_node=False, default=0b111)
+    # payload_mask bits: 1 = normals nonzero, 2 = tangents nonzero,
+    # 4 = uv nonzero. Zero fields skip their gather and broadcast zeros.
 
     @property
     def n_clusters(self) -> int:
         return self.tri_feats.shape[0]
 
 
-def pack_prims(tris: Triangle) -> jnp.ndarray:
-    """One row per triangle so the hit-result fetch is a single gather."""
+def pack_prims_hot(tris: Triangle) -> jnp.ndarray:
+    """(T, 10) hot rows [vertices(9), metadata-bits(1)] — everything the
+    exact-MT recompute needs in one narrow gather."""
     T = tris.vertices.shape[0]
     from .types import i32_as_f32
     return jnp.concatenate([
-        tris.vertices.reshape(T, 9), tris.normals.reshape(T, 9),
-        tris.tangents.reshape(T, 9), tris.uv.reshape(T, 6),
-        i32_as_f32(tris.metadata.astype(jnp.int32))[:, None],
-        jnp.zeros((T, 5), jnp.float32)], axis=1)
+        tris.vertices.reshape(T, 9),
+        i32_as_f32(tris.metadata.astype(jnp.int32))[:, None]], axis=1)
 
 
-def unpack_prims_rows(rows, hit) -> Triangle:
-    """Inverse of pack_prims for gathered rows, zero-masked on miss."""
+def gather_hit_triangles(scene: "DenseScene", idx, hit) -> Triangle:
+    """Winning-triangle payload: one narrow hot gather plus per-field cold
+    gathers gated by the scene's payload_mask (all-zero fields skip their
+    gather entirely — TPU gather cost scales with gathered columns)."""
     from .types import f32_as_i32
-    R = rows.shape[0]
+    R = idx.shape[0]
+    rows = jnp.take(scene.prims_hot, idx, axis=0)          # (R, 10)
     rows = jnp.where(hit[:, None], rows, 0.0)
-    meta = jnp.where(hit, f32_as_i32(rows[:, 33]), 0).astype(jnp.uint32)
+    meta = jnp.where(hit, f32_as_i32(rows[:, 9]), 0).astype(jnp.uint32)
+
+    def cold(field, ncols, bit):
+        if scene.payload_mask & bit:
+            g = jnp.take(field.reshape(-1, ncols), idx, axis=0)
+            return jnp.where(hit[:, None], g, 0.0)
+        return jnp.zeros((R, ncols), jnp.float32)
+
     return Triangle(
         vertices=rows[:, 0:9].reshape(R, 3, 3),
-        normals=rows[:, 9:18].reshape(R, 3, 3),
-        tangents=rows[:, 18:27].reshape(R, 3, 3),
-        uv=rows[:, 27:33].reshape(R, 3, 2),
+        normals=cold(scene.prims.normals, 9, 1).reshape(R, 3, 3),
+        tangents=cold(scene.prims.tangents, 9, 2).reshape(R, 3, 3),
+        uv=cold(scene.prims.uv, 6, 4).reshape(R, 3, 2),
         metadata=meta)
 
 
@@ -165,7 +181,8 @@ def _build_dense(sorted_tris: Triangle, cluster_size: int,
     root = jnp.stack([jnp.min(cmin, 0), jnp.max(cmax, 0)])
     return DenseScene(tri_feats=blocks, cluster_min=cmin, cluster_max=cmax,
                       sub_bounds=sub_bounds,
-                      prims=sorted_tris, prims_packed=pack_prims(sorted_tris),
+                      prims=sorted_tris,
+                      prims_hot=pack_prims_hot(sorted_tris),
                       root_aabb=root, n_prims=T, cluster_size=C,
                       sub_chunks=SUB)
 
@@ -189,7 +206,11 @@ def build_dense(tris: Triangle, cluster_size: int = 256,
         sorted_tris = tile_sort_triangles(tris, cap, cluster_size)
     else:
         sorted_tris = morton_sort_triangles(tris, cap)   # no BVH needed
-    return _build_dense(sorted_tris, cluster_size, sub_chunks)
+    scene = _build_dense(sorted_tris, cluster_size, sub_chunks)
+    mask = ((1 if bool(jnp.any(tris.normals != 0)) else 0)
+            | (2 if bool(jnp.any(tris.tangents != 0)) else 0)
+            | (4 if bool(jnp.any(tris.uv != 0)) else 0))
+    return scene.replace(payload_mask=mask)
 
 
 # ---------------------------------------------------------------------------
@@ -389,12 +410,10 @@ def _closest_hit_dense_flat(scene: DenseScene, o, d, t_min, t_max, *,
 
 
 def finalize_hits(scene: DenseScene, pair, t, u, v) -> HitResult:
-    """HitResult from raw best arrays: ONE packed-row gather for the
-    triangle payload (jit this together with the query — eager glue on the
-    tunneled backend costs ~ms per op)."""
+    """HitResult from raw best arrays (jit this together with the query —
+    eager glue on the tunneled backend costs ~ms per op)."""
     hit = (pair >= 0) & jnp.isfinite(t)
-    rows = jnp.take(scene.prims_packed, jnp.clip(pair, 0, None), axis=0)
-    tri = unpack_prims_rows(rows, hit)
+    tri = gather_hit_triangles(scene, jnp.clip(pair, 0, None), hit)
     bary = jnp.where(hit[:, None], jnp.stack([1 - u - v, u, v], -1), 0.0)
     return HitResult(hit=hit, triangle=tri, t=jnp.where(hit, t, 0.0),
                      barycentric=bary,
@@ -410,8 +429,7 @@ def finalize_hits_exact(scene: DenseScene, pair, t_approx, o, d) -> HitResult:
     src/instanced-bvh.jl:1756-1797). Winners admitted under the featurized
     EDGE_EPS slack clamp into the barycentric simplex."""
     hit = (pair >= 0) & jnp.isfinite(t_approx)
-    rows = jnp.take(scene.prims_packed, jnp.clip(pair, 0, None), axis=0)
-    tri = unpack_prims_rows(rows, hit)
+    tri = gather_hit_triangles(scene, jnp.clip(pair, 0, None), hit)
     v0, v1, v2 = tri.vertices[:, 0], tri.vertices[:, 1], tri.vertices[:, 2]
     e1 = v1 - v0
     e2 = v2 - v0

@@ -449,6 +449,17 @@ def _stage2(scene, block_cid, block_subs, tbl, o, d, *, G: int, SPB: int,
     return finalize_hits_exact(scene, out_pair[:R], t, o, d)
 
 
+# Per-(scene, query-shape) capacity memory: repeated queries (bench reps,
+# render loops) right-size the coarse pair capacity from the previous
+# call's true count, shrinking the grouping sort/scatter work ~3x vs the
+# conservative first-call default. Overflow still retries with doubling.
+_CAPACITY_CACHE: dict = {}
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (max(n, 1) - 1).bit_length())
+
+
 def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
                           spb: int = 16, pairs_per_tile: int = 48,
                           combine: str = "grouped", passes: int = 2):
@@ -477,7 +488,12 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
         o, d = ext(o, 0.0), ext(d, 1.0)
         t_min, t_max = ext(t_min, 0.0), ext(t_max, -jnp.inf)
     n_tiles = o.shape[0] // TILE
-    P_cap = min(pairs_per_tile * n_tiles, n_tiles * scene.n_clusters)
+    hard = n_tiles * scene.n_clusters
+    P_cap = min(pairs_per_tile * n_tiles, hard)
+    ck = (id(scene.tri_feats), o.shape[0], TILE, G, SPB, passes)
+    cached = _CAPACITY_CACHE.get(ck)
+    if cached is not None:
+        P_cap = min(max(4096, _next_pow2(int(cached * 1.25))), hard)
 
     k1 = p1 = None
     for _ in range(4):
@@ -492,7 +508,8 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
                 P_cap=P_cap, interpret=interpret)
         if int(coarse) <= P_cap:
             break
-        P_cap = min(2 * P_cap, n_tiles * scene.n_clusters)
+        P_cap = min(2 * P_cap, hard)
+    _CAPACITY_CACHE[ck] = int(coarse)
     nb = int(total)                         # the one host sync
     nb = 1 << max(9, (max(nb, 1) - 1).bit_length())
     nb = min(nb, block_cid.shape[0])

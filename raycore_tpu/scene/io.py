@@ -57,10 +57,10 @@ def save_scene(path: str, scene) -> None:
             kind=np.asarray("DenseScene"),
             tri_feats=scene.tri_feats, cluster_min=scene.cluster_min,
             cluster_max=scene.cluster_max, sub_bounds=scene.sub_bounds,
-            prims_packed=scene.prims_packed,
+            prims_hot=scene.prims_hot,
             root_aabb=scene.root_aabb,
             statics=np.asarray([scene.n_prims, scene.cluster_size,
-                                scene.sub_chunks]),
+                                scene.sub_chunks, scene.payload_mask]),
             **_tri_arrays("prims_", scene.prims))
     else:
         raise TypeError(f"cannot serialize {type(scene)}")
@@ -90,14 +90,20 @@ def load_scene(path: str):
             n_blas=int(s[2]))
     if kind == "DenseScene":
         s = z["statics"]
+        if "prims_hot" in z:
+            hot = jnp.asarray(z["prims_hot"])
+        else:                        # legacy format: slice the packed rows
+            from ..accel.dense import pack_prims_hot
+            hot = pack_prims_hot(_tri_from("prims_", z))
         return DenseScene(
             tri_feats=jnp.asarray(z["tri_feats"]),
             cluster_min=jnp.asarray(z["cluster_min"]),
             cluster_max=jnp.asarray(z["cluster_max"]),
             sub_bounds=jnp.asarray(z["sub_bounds"]),
             prims=_tri_from("prims_", z),
-            prims_packed=jnp.asarray(z["prims_packed"]),
+            prims_hot=hot,
             root_aabb=jnp.asarray(z["root_aabb"]),
             n_prims=int(s[0]), cluster_size=int(s[1]),
-            sub_chunks=int(s[2]) if len(s) > 2 else 4)
+            sub_chunks=int(s[2]) if len(s) > 2 else 4,
+            payload_mask=int(s[3]) if len(s) > 3 else 0b111)
     raise ValueError(f"unknown scene kind {kind!r}")
