@@ -36,9 +36,10 @@ def main():
 
     n_tris_target = int(os.environ.get("RAYCORE_BENCH_TRIS", 1_000_000))
     n_rays = int(os.environ.get("RAYCORE_BENCH_RAYS", 1_048_576))
-    tile = int(os.environ.get("RAYCORE_BENCH_TILE", 512))
     reps = int(os.environ.get("RAYCORE_BENCH_REPS", 5))
-    engine = os.environ.get("RAYCORE_BENCH_ENGINE", "dense_pallas_auto")
+    engine = os.environ.get("RAYCORE_BENCH_ENGINE", "regroup")
+    tile = int(os.environ.get("RAYCORE_BENCH_TILE",
+                              2048 if engine == "regroup" else 512))
     cluster = int(os.environ.get("RAYCORE_BENCH_CLUSTER", 128))
     select = int(os.environ.get("RAYCORE_BENCH_SELECT", 4))
 
@@ -106,7 +107,7 @@ def main():
         G = int(os.environ.get("RAYCORE_BENCH_SUBGROUP", 32))
         SPB = int(os.environ.get("RAYCORE_BENCH_SPB", 16))
         combine = os.environ.get("RAYCORE_BENCH_COMBINE", "grouped")
-        passes = int(os.environ.get("RAYCORE_BENCH_PASSES", 2))
+        passes = int(os.environ.get("RAYCORE_BENCH_PASSES", 1))
         run = lambda: closest_hit_regrouped(scene, rays, tile=tile,
                                             subgroup=G, spb=SPB,
                                             combine=combine, passes=passes)

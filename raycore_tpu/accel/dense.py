@@ -207,10 +207,14 @@ def build_dense(tris: Triangle, cluster_size: int = 256,
     else:
         sorted_tris = morton_sort_triangles(tris, cap)   # no BVH needed
     scene = _build_dense(sorted_tris, cluster_size, sub_chunks)
-    mask = ((1 if bool(jnp.any(tris.normals != 0)) else 0)
-            | (2 if bool(jnp.any(tris.tangents != 0)) else 0)
-            | (4 if bool(jnp.any(tris.uv != 0)) else 0))
-    return scene.replace(payload_mask=mask)
+    import numpy as np
+    f = np.asarray(_payload_flags(tris.normals, tris.tangents, tris.uv))
+    return scene.replace(payload_mask=int(1 * f[0] + 2 * f[1] + 4 * f[2]))
+
+
+@jax.jit
+def _payload_flags(n, tg, uv):
+    return jnp.array([jnp.any(n != 0), jnp.any(tg != 0), jnp.any(uv != 0)])
 
 
 # ---------------------------------------------------------------------------

@@ -394,12 +394,7 @@ def _stage1_pruned(scene, o, d, t_min, t_max, *, TILE: int, G: int,
     return (block_cid, block_subs, tbl, total, coarse_total, k1, p1)
 
 
-@partial(jax.jit, static_argnames=("TILE", "G", "SPB", "P_cap", "interpret"))
-def _stage1(scene, o, d, t_min, t_max, *, TILE: int, G: int, SPB: int,
-            P_cap: int, interpret: bool):
-    """Phase A -> coarse worklist -> subgroup refine -> cluster-major
-    grouping. Returns everything the sweep stage needs plus the runtime
-    totals (coarse pairs, blocks) for host-side grid sizing."""
+def _stage1_core(scene, o, d, t_min, t_max, TILE, G, SPB, P_cap, interpret):
     K = scene.n_clusters
     SPT = TILE // G
     R = o.shape[0]
@@ -419,11 +414,37 @@ def _stage1(scene, o, d, t_min, t_max, *, TILE: int, G: int, SPB: int,
     return block_cid, block_subs, tbl, total, coarse_total
 
 
-@partial(jax.jit, static_argnames=("G", "SPB", "n_blocks", "interpret",
-                                   "combine", "R_pad"))
-def _stage2(scene, block_cid, block_subs, tbl, o, d, *, G: int, SPB: int,
-            n_blocks: int, interpret: bool, combine: str, R_pad: int,
-            k1=None, p1=None):
+@partial(jax.jit, static_argnames=("TILE", "G", "SPB", "P_cap", "interpret"))
+def _stage1(scene, o, d, t_min, t_max, *, TILE: int, G: int, SPB: int,
+            P_cap: int, interpret: bool):
+    """Phase A -> coarse worklist -> subgroup refine -> cluster-major
+    grouping. Returns everything the sweep stage needs plus the runtime
+    totals (coarse pairs, blocks) for host-side grid sizing."""
+    return _stage1_core(scene, o, d, t_min, t_max, TILE, G, SPB, P_cap,
+                        interpret)
+
+
+@partial(jax.jit, static_argnames=("TILE", "G", "SPB", "P_cap", "nb",
+                                   "interpret", "combine", "R0"))
+def _fused_query(scene, o, d, t_min, t_max, *, TILE: int, G: int, SPB: int,
+                 P_cap: int, nb: int, interpret: bool, combine: str,
+                 R0: int):
+    """One-dispatch warm path: stage1 + stage2 with a PREDICTED block
+    grid (from the call site's previous query). The caller validates the
+    returned totals post-hoc and falls back to the two-stage path when
+    the prediction was too small — results are only used when valid, so
+    exactness is unaffected."""
+    out = _stage1_core(scene, o, d, t_min, t_max, TILE, G, SPB, P_cap,
+                       interpret)
+    block_cid, block_subs, tbl, total, coarse_total = out
+    res = _stage2_core(scene, block_cid, block_subs, tbl, o[:R0], d[:R0],
+                       G, SPB, nb, interpret, combine, o.shape[0],
+                       None, None)
+    return res, total, coarse_total
+
+
+def _stage2_core(scene, block_cid, block_subs, tbl, o, d, G, SPB,
+                 n_blocks, interpret, combine, R_pad, k1, p1):
     from ..accel.dense import finalize_hits_exact
     C = scene.cluster_size
     R = o.shape[0]
@@ -447,6 +468,15 @@ def _stage2(scene, block_cid, block_subs, tbl, o, d, *, G: int, SPB: int,
         out_pair = jnp.where(better1, p1, out_pair)
     t = _t_from_keys(out_key[:R], 0)        # full-precision keys
     return finalize_hits_exact(scene, out_pair[:R], t, o, d)
+
+
+@partial(jax.jit, static_argnames=("G", "SPB", "n_blocks", "interpret",
+                                   "combine", "R_pad"))
+def _stage2(scene, block_cid, block_subs, tbl, o, d, *, G: int, SPB: int,
+            n_blocks: int, interpret: bool, combine: str, R_pad: int,
+            k1=None, p1=None):
+    return _stage2_core(scene, block_cid, block_subs, tbl, o, d, G, SPB,
+                        n_blocks, interpret, combine, R_pad, k1, p1)
 
 
 # Per-(scene, query-shape) capacity memory: repeated queries (bench reps,
@@ -493,7 +523,25 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
     ck = (id(scene.tri_feats), o.shape[0], TILE, G, SPB, passes)
     cached = _CAPACITY_CACHE.get(ck)
     if cached is not None:
-        P_cap = min(max(4096, _next_pow2(int(cached * 1.25))), hard)
+        P_cap = min(max(4096, _next_pow2(int(cached["coarse"] * 1.25))),
+                    hard)
+
+    reshape_out = lambda res: jax.tree_util.tree_map(
+        lambda a: a.reshape(batch + a.shape[1:]), res)
+
+    if passes == 1 and cached is not None and combine == "grouped":
+        # Warm path: ONE dispatch with the predicted block grid; validate
+        # the totals afterwards and fall back when the prediction missed.
+        res, total, coarse = _fused_query(
+            scene, o, d, t_min, t_max, TILE=TILE, G=G, SPB=SPB,
+            P_cap=P_cap, nb=cached["nb"], interpret=interpret,
+            combine=combine, R0=R0)
+        it, ic = int(total), int(coarse)
+        if ic <= P_cap and it <= cached["nb"]:
+            _CAPACITY_CACHE[ck] = dict(
+                coarse=ic, nb=max(cached["nb"],
+                                  max(512, _next_pow2(it))))
+            return reshape_out(res)
 
     k1 = p1 = None
     for _ in range(4):
@@ -509,10 +557,10 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
         if int(coarse) <= P_cap:
             break
         P_cap = min(2 * P_cap, hard)
-    _CAPACITY_CACHE[ck] = int(coarse)
     nb = int(total)                         # the one host sync
     nb = 1 << max(9, (max(nb, 1) - 1).bit_length())
     nb = min(nb, block_cid.shape[0])
+    _CAPACITY_CACHE[ck] = dict(coarse=int(coarse), nb=nb)
     res = _stage2(scene, block_cid, block_subs, tbl, o[:R0], d[:R0],
                   G=G, SPB=SPB, n_blocks=nb, interpret=interpret,
                   combine=combine, R_pad=o.shape[0], k1=k1, p1=p1)
