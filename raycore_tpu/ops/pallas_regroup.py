@@ -440,7 +440,8 @@ def _fused_query(scene, o, d, t_min, t_max, *, TILE: int, G: int, SPB: int,
     res = _stage2_core(scene, block_cid, block_subs, tbl, o[:R0], d[:R0],
                        G, SPB, nb, interpret, combine, o.shape[0],
                        None, None)
-    return res, total, coarse_total
+    # One packed totals array = one host readback for the validation.
+    return res, jnp.stack([total, coarse_total])
 
 
 def _stage2_core(scene, block_cid, block_subs, tbl, o, d, G, SPB,
@@ -523,8 +524,10 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
     ck = (id(scene.tri_feats), o.shape[0], TILE, G, SPB, passes)
     cached = _CAPACITY_CACHE.get(ck)
     if cached is not None:
-        P_cap = min(max(4096, _next_pow2(int(cached["coarse"] * 1.25))),
-                    hard)
+        # 4096-multiple buckets: tight enough to shrink the grouping N,
+        # coarse enough to bound recompiles.
+        want = int(cached["coarse"] * 1.2)
+        P_cap = min(max(4096, -(-want // 4096) * 4096), hard)
 
     reshape_out = lambda res: jax.tree_util.tree_map(
         lambda a: a.reshape(batch + a.shape[1:]), res)
@@ -532,11 +535,12 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
     if passes == 1 and cached is not None and combine == "grouped":
         # Warm path: ONE dispatch with the predicted block grid; validate
         # the totals afterwards and fall back when the prediction missed.
-        res, total, coarse = _fused_query(
+        res, totals = _fused_query(
             scene, o, d, t_min, t_max, TILE=TILE, G=G, SPB=SPB,
             P_cap=P_cap, nb=cached["nb"], interpret=interpret,
             combine=combine, R0=R0)
-        it, ic = int(total), int(coarse)
+        import numpy as _np
+        it, ic = (int(x) for x in _np.asarray(totals))
         if ic <= P_cap and it <= cached["nb"]:
             _CAPACITY_CACHE[ck] = dict(
                 coarse=ic, nb=max(cached["nb"],
