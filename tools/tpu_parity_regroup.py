@@ -1,0 +1,45 @@
+"""On-device (Mosaic-compiled) parity check: regroup engine vs brute
+oracle, moderate scale. CPU interpret parity is covered by pytest; this
+validates the compiled kernel's semantics on real TPU hardware."""
+import os
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import raycore_tpu as rc
+from raycore_tpu.accel.brute import closest_hit_brute
+from raycore_tpu.accel.dense import build_dense
+from raycore_tpu.ops.pallas_regroup import closest_hit_regrouped
+
+n = int(os.environ.get("PARITY_MESH_N", 224))            # ~100K tris
+R = int(os.environ.get("PARITY_RAYS", 65536))
+mesh = rc.displaced_grid_mesh(n=n, extent=2.0, amplitude=0.35)
+scene = build_dense(mesh, cluster_size=128)
+print(f"tris={mesh.vertices.shape[0]} K={scene.n_clusters} rays={R}",
+      flush=True)
+
+rng = np.random.default_rng(0)
+o = rng.uniform(-1, 1, (R, 3)).astype(np.float32)
+o[:, 2] = 2.0
+d = rng.normal(size=(R, 3)).astype(np.float32)
+d /= np.linalg.norm(d, axis=1, keepdims=True)
+d[:, 2] = -np.abs(d[:, 2]) - 0.2
+# Mix in exact axis-parallel rays (the conservativeness regression class).
+d[::7] = [0.0, 0.0, -1.0]
+rays = rc.Ray.create(o=jnp.asarray(o), d=jnp.asarray(d))
+
+ref = closest_hit_brute(scene.prims, rays)
+got = closest_hit_regrouped(scene, rays, tile=2048, passes=1)
+rh, gh = np.asarray(ref.hit), np.asarray(got.hit)
+assert np.array_equal(rh, gh), f"hit mismatch: {np.sum(rh != gh)}"
+both = rh
+rt, gt = np.asarray(ref.t)[both], np.asarray(got.t)[both]
+np.testing.assert_allclose(gt, rt, rtol=2e-5, atol=2e-6)
+pm = (np.asarray(ref.prim_idx)[both] == np.asarray(got.prim_idx)[both])
+dd = np.abs(gt - rt)[~pm] / np.maximum(rt[~pm], 1e-6) if (~pm).any() else 0
+print(f"hits={both.sum()} prim-match={pm.mean():.5f} "
+      f"max-rel-dt-of-flips={np.max(dd) if (~pm).any() else 0:.2e}",
+      flush=True)
+if (~pm).any():
+    assert np.max(dd) < 2e-6, "non-tie winner mismatch"
+print("TPU parity OK", flush=True)
