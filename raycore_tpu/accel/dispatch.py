@@ -37,16 +37,20 @@ def _dense_query(scene, rays, tile_size):
         # (render/pathtracer.trace_paths_staged).
         return closest_hit_dense(scene, rays,
                                  tile=min(2048, max(tile_size, 8)))
+    import os
     n_rays = 1
     for s in rays.batch_shape:
         n_rays *= s
-    if scene.sub_chunks == 1 and n_rays >= (1 << 19):
+    if (scene.sub_chunks == 1 and n_rays >= (1 << 19)
+            and os.environ.get("RAYCORE_DISPATCH_REGROUP", "0") == "1"):
         # Cluster-major regrouped sweep: per-32-ray-subgroup candidate
         # lists, ~30% faster than the tile worklist on coherent 1M-ray
-        # queries (docs/performance.md round-2 table). Only for large
-        # batches: it compiles 2 jits per (scene, shape) bucket, which
-        # is minutes per bucket through the tunneled remote compiler —
-        # renderers' shrinking bounce queues stay on the tile engine.
+        # queries (docs/performance.md round-2 table). Opt-in here
+        # because its fused stage graphs (1.5M-element sort/scatter
+        # grouping) take tens of minutes in the tunneled REMOTE compiler
+        # — renderer pipelines would stall on first frame. On a local
+        # TPU runtime flip RAYCORE_DISPATCH_REGROUP=1; big single
+        # queries can always call closest_hit_regrouped directly.
         from ..ops.pallas_regroup import closest_hit_regrouped
         return closest_hit_regrouped(scene, rays, tile=2048, passes=1)
     from ..ops.pallas_dense import closest_hit_dense_pallas_auto

@@ -535,16 +535,22 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
     if passes == 1 and cached is not None and combine == "grouped":
         # Warm path: ONE dispatch with the predicted block grid; validate
         # the totals afterwards and fall back when the prediction missed.
+        B_cap = P_cap * (TILE // G) // SPB + scene.n_clusters + 1
+        nb_pred = min(cached["nb"], B_cap)
         res, totals = _fused_query(
             scene, o, d, t_min, t_max, TILE=TILE, G=G, SPB=SPB,
-            P_cap=P_cap, nb=cached["nb"], interpret=interpret,
+            P_cap=P_cap, nb=nb_pred, interpret=interpret,
             combine=combine, R0=R0)
         import numpy as _np
         it, ic = (int(x) for x in _np.asarray(totals))
-        if ic <= P_cap and it <= cached["nb"]:
+        if ic <= P_cap and it <= nb_pred:
+            # Sticky-max both counts: shrinking workloads (e.g. later
+            # path-tracer bounces) must NOT move to smaller capacity
+            # buckets — every new bucket is a multi-minute remote
+            # compile on the tunneled backend.
             _CAPACITY_CACHE[ck] = dict(
-                coarse=ic, nb=max(cached["nb"],
-                                  max(512, _next_pow2(it))))
+                coarse=max(cached["coarse"], ic),
+                nb=max(cached["nb"], max(512, _next_pow2(it))))
             return reshape_out(res)
 
     k1 = p1 = None
@@ -564,7 +570,9 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
     nb = int(total)                         # the one host sync
     nb = 1 << max(9, (max(nb, 1) - 1).bit_length())
     nb = min(nb, block_cid.shape[0])
-    _CAPACITY_CACHE[ck] = dict(coarse=int(coarse), nb=nb)
+    prev = _CAPACITY_CACHE.get(ck) or dict(coarse=0, nb=0)
+    _CAPACITY_CACHE[ck] = dict(coarse=max(prev["coarse"], int(coarse)),
+                               nb=max(prev["nb"], nb))
     res = _stage2(scene, block_cid, block_subs, tbl, o[:R0], d[:R0],
                   G=G, SPB=SPB, n_blocks=nb, interpret=interpret,
                   combine=combine, R_pad=o.shape[0], k1=k1, p1=p1)
