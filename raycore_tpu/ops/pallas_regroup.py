@@ -484,7 +484,34 @@ def _stage2(scene, block_cid, block_subs, tbl, o, d, *, G: int, SPB: int,
 # render loops) right-size the coarse pair capacity from the previous
 # call's true count, shrinking the grouping sort/scatter work ~3x vs the
 # conservative first-call default. Overflow still retries with doubling.
+# Entries carry a weakref to the keying array: ids are recycled after GC,
+# so a recycled id must not inherit a dead scene's prediction (results
+# would still be validated/correct, but the misprediction would trigger
+# fallback recompiles). Size-bounded FIFO.
+import weakref as _weakref
+
 _CAPACITY_CACHE: dict = {}
+_CAPACITY_CACHE_MAX = 64
+
+
+def _cache_get(scene, ck):
+    ent = _CAPACITY_CACHE.get(ck)
+    if ent is None:
+        return None
+    if ent.get("ref") is not None and ent["ref"]() is not scene.tri_feats:
+        del _CAPACITY_CACHE[ck]         # stale: id was recycled
+        return None
+    return ent
+
+
+def _cache_put(scene, ck, coarse, nb):
+    try:
+        ref = _weakref.ref(scene.tri_feats)
+    except TypeError:
+        ref = None
+    while len(_CAPACITY_CACHE) >= _CAPACITY_CACHE_MAX:
+        _CAPACITY_CACHE.pop(next(iter(_CAPACITY_CACHE)))
+    _CAPACITY_CACHE[ck] = dict(coarse=coarse, nb=nb, ref=ref)
 
 
 def _next_pow2(n: int) -> int:
@@ -508,8 +535,11 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
     o, d = flat(rays.o), flat(rays.d)
     t_min, t_max = flat(rays.t_min), flat(rays.t_max)
     R0 = o.shape[0]
-    TILE = min(tile, max(R0, subgroup))
-    G = min(subgroup, TILE)
+    G = min(subgroup, max(8, 1 << (max(R0, 1) - 1).bit_length()))
+    # TILE must be a multiple of G (subgroup_stats / ray_table reshape
+    # (n_sub, G)); round up so e.g. R0=100, G=32 pads to TILE=128.
+    TILE = min(tile, max(R0, G))
+    TILE = -(-TILE // G) * G
     SPB = spb
     d = jnp.where(d == 0.0, 0.0, d)
     pad = (-R0) % TILE
@@ -521,8 +551,9 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
     n_tiles = o.shape[0] // TILE
     hard = n_tiles * scene.n_clusters
     P_cap = min(pairs_per_tile * n_tiles, hard)
-    ck = (id(scene.tri_feats), o.shape[0], TILE, G, SPB, passes)
-    cached = _CAPACITY_CACHE.get(ck)
+    ck = (id(scene.tri_feats), scene.tri_feats.shape, o.shape[0], TILE, G,
+          SPB, passes)
+    cached = _cache_get(scene, ck)
     if cached is not None:
         # 4096-multiple buckets: tight enough to shrink the grouping N,
         # coarse enough to bound recompiles.
@@ -548,13 +579,17 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
             # path-tracer bounces) must NOT move to smaller capacity
             # buckets — every new bucket is a multi-minute remote
             # compile on the tunneled backend.
-            _CAPACITY_CACHE[ck] = dict(
-                coarse=max(cached["coarse"], ic),
-                nb=max(cached["nb"], max(512, _next_pow2(it))))
+            _cache_put(scene, ck, max(cached["coarse"], ic),
+                       max(cached["nb"], max(512, _next_pow2(it))))
             return reshape_out(res)
 
     k1 = p1 = None
-    for _ in range(4):
+    while True:
+        # Retry with doubled capacity until the coarse pair count fits.
+        # Terminates: coarse <= hard (= n_tiles * K) by construction, and
+        # P_cap reaches hard after finitely many doublings — a truncated
+        # worklist is never swept (that would silently drop candidates
+        # from an API documented as exact).
         if passes == 2:
             out = _stage1_pruned(scene, o, d, t_min, t_max, TILE=TILE,
                                  G=G, SPB=SPB, P_cap=P_cap,
@@ -566,13 +601,17 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
                 P_cap=P_cap, interpret=interpret)
         if int(coarse) <= P_cap:
             break
+        if P_cap >= hard:
+            raise RuntimeError(
+                f"regroup worklist overflow at hard capacity: "
+                f"{int(coarse)} coarse pairs > {P_cap}")
         P_cap = min(2 * P_cap, hard)
     nb = int(total)                         # the one host sync
     nb = 1 << max(9, (max(nb, 1) - 1).bit_length())
     nb = min(nb, block_cid.shape[0])
-    prev = _CAPACITY_CACHE.get(ck) or dict(coarse=0, nb=0)
-    _CAPACITY_CACHE[ck] = dict(coarse=max(prev["coarse"], int(coarse)),
-                               nb=max(prev["nb"], nb))
+    prev = _cache_get(scene, ck) or dict(coarse=0, nb=0)
+    _cache_put(scene, ck, max(prev["coarse"], int(coarse)),
+               max(prev["nb"], nb))
     res = _stage2(scene, block_cid, block_subs, tbl, o[:R0], d[:R0],
                   G=G, SPB=SPB, n_blocks=nb, interpret=interpret,
                   combine=combine, R_pad=o.shape[0], k1=k1, p1=p1)

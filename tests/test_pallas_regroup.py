@@ -91,6 +91,15 @@ def test_regroup_respects_t_range():
     _check(ref, closest_hit_regrouped(scene, rays))
 
 
+def test_regroup_small_non_multiple_of_subgroup():
+    # R0=100 with subgroup=32: TILE must round up to a multiple of G
+    # (previously a reshape TypeError at trace time — ADVICE.md round 1).
+    scene, rays = _scene_and_rays(R=100)
+    ref = closest_hit_brute(scene.prims, rays)
+    got = closest_hit_regrouped(scene, rays, subgroup=32)
+    _check(ref, got)
+
+
 def test_regroup_ragged_batch_and_2d():
     scene, rays = _scene_and_rays(R=777)      # not a multiple of TILE
     ref = closest_hit_brute(scene.prims, rays)
