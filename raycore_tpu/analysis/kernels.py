@@ -43,15 +43,15 @@ def generate_ray_grid(scene: StaticTLAS, ray_direction, grid_size: int):
     basis2 = jnp.cross(direction, basis1)
     basis2 = basis2 / jnp.linalg.norm(basis2)
 
-    proj1 = corners @ basis1
-    proj2 = corners @ basis2
+    proj1 = jnp.sum(corners * basis1, axis=-1)
+    proj2 = jnp.sum(corners * basis2, axis=-1)
     min1, max1 = jnp.min(proj1), jnp.max(proj1)
     min2, max2 = jnp.min(proj2), jnp.max(proj2)
     margin = 0.05 * jnp.maximum(max1 - min1, max2 - min2)
     width = max1 - min1 + 2 * margin
     height = max2 - min2 + 2 * margin
 
-    depth = corners @ direction
+    depth = jnp.sum(corners * direction, axis=-1)
     min_depth = jnp.min(depth) - margin
     center = min_depth * direction + 0.5 * (min1 + max1) * basis1 \
         + 0.5 * (min2 + max2) * basis2
@@ -137,7 +137,7 @@ def view_factors(scene: StaticTLAS, triangles, key, *,
         sqrt_r1 = jnp.sqrt(r[..., 0])
         bary = jnp.stack([1.0 - sqrt_r1, sqrt_r1 * (1.0 - r[..., 1]),
                           sqrt_r1 * r[..., 1]], -1)
-        pts = jnp.einsum("tbk,tkc->tbc", bary, v)
+        pts = jnp.sum(bary[..., None] * v[:, None, :, :], axis=-2)  # exact fp32 (not einsum: MXU bf16)
         o = pts + offset * n[:, None, :]
 
         xi = jax.random.uniform(k2, (T, ray_batch, 2))

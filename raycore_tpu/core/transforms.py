@@ -44,8 +44,11 @@ class Transformation:
     def compose(self, other: "Transformation") -> "Transformation":
         """self ∘ other — apply ``other`` first. Inverses compose in reverse
         order (reference src/transformations.jl:20-22)."""
-        return Transformation(m=self.m @ other.m,
-                              m_inv=other.m_inv @ self.m_inv)
+        # HIGHEST precision: DEFAULT bf16-rounds composed matrices, which
+        # then quantizes every point they are applied to.
+        return Transformation(
+            m=jnp.matmul(self.m, other.m, precision="highest"),
+            m_inv=jnp.matmul(other.m_inv, self.m_inv, precision="highest"))
 
     def __matmul__(self, other):
         if isinstance(other, Transformation):
@@ -57,19 +60,20 @@ class Transformation:
         """Apply to a point with branch-free w-divide (reference
         src/transformations.jl:140-146)."""
         p = jnp.asarray(p, jnp.float32)
-        r = jnp.einsum("...ij,...j->...i", self.m[..., :3, :3], p) + self.m[..., :3, 3]
-        w = jnp.einsum("...j,...j->...", self.m[..., 3, :3], p) + self.m[..., 3, 3]
+        # Exact fp32 elementwise math throughout (see _apply_mat3).
+        r = _apply_mat3(self.m[..., :3, :3], p) + self.m[..., :3, 3]
+        w = jnp.sum(self.m[..., 3, :3] * p, axis=-1) + self.m[..., 3, 3]
         return r / w[..., None]
 
     def apply_vector(self, v):
         v = jnp.asarray(v, jnp.float32)
-        return jnp.einsum("...ij,...j->...i", self.m[..., :3, :3], v)
+        return _apply_mat3(self.m[..., :3, :3], v)
 
     def apply_normal(self, n):
         """Normals transform by the inverse-transpose (reference
         src/transformations.jl:149)."""
         n = jnp.asarray(n, jnp.float32)
-        return jnp.einsum("...ji,...j->...i", self.m_inv[..., :3, :3], n)
+        return jnp.sum(self.m_inv[..., :3, :3] * n[..., :, None], axis=-2)
 
     def apply_bounds(self, b: _bounds.Bounds3) -> _bounds.Bounds3:
         """Transform all 8 corners and re-union (reference
@@ -161,7 +165,8 @@ def rotate(theta_deg, axis) -> Transformation:
         jnp.stack([-y, x, jnp.zeros_like(x)], -1),
     ], -2)
     eye = jnp.eye(3, dtype=jnp.float32)
-    m3 = eye + s[..., None, None] * K + (1 - c)[..., None, None] * (K @ K)
+    m3 = eye + s[..., None, None] * K \
+        + (1 - c)[..., None, None] * jnp.matmul(K, K, precision="highest")
     zt = jnp.zeros(a.shape[:-1] + (3,), jnp.float32)
     m = _affine(m3, zt)
     return Transformation(m=m, m_inv=jnp.swapaxes(m, -1, -2))
@@ -341,14 +346,25 @@ def mat3x4_inverse(m):
     c2 = jnp.cross(R[..., :, 0], R[..., :, 1], axis=-1)
     det = jnp.sum(R[..., :, 0] * c0, axis=-1)
     B = jnp.stack([c0, c1, c2], axis=-2) / det[..., None, None]
-    t_inv = -jnp.einsum("...ij,...j->...i", B, t)
+    t_inv = -_apply_mat3(B, t)
     return jnp.concatenate([B, t_inv[..., :, None]], axis=-1)
 
 
+def _apply_mat3(R, p):
+    """Exact fp32 3x3 matrix-vector product via elementwise multiply-add.
+
+    Deliberately NOT einsum/matmul: XLA lowers tiny contractions onto the
+    MXU at DEFAULT precision, i.e. bf16 inputs — which quantizes geometry
+    (observed: baked soup vertices rounded to dyadic bf16 values, causing
+    1.8e-4/65536 TLAS-vs-dense hit mismatches). Elementwise ops run on the
+    VPU in full fp32 and are faster for 3-wide shapes anyway."""
+    return jnp.sum(R * p[..., None, :], axis=-1)
+
+
 def transform_point_3x4(m, p):
-    """world = R p + t for a row-major 3x4."""
-    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], p) + m[..., :3, 3]
+    """world = R p + t for a row-major 3x4 (exact fp32; see _apply_mat3)."""
+    return _apply_mat3(m[..., :3, :3], p) + m[..., :3, 3]
 
 
 def transform_direction_3x4(m, v):
-    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], v)
+    return _apply_mat3(m[..., :3, :3], v)

@@ -272,3 +272,15 @@ def _coordinate_system(v1):
                    jnp.stack([-z * inv_a, jnp.zeros_like(x), x * inv_a], -1),
                    jnp.stack([jnp.zeros_like(x), z * inv_a, -y * inv_a], -1))
     return v2, jnp.cross(v1, v2)
+
+
+def bary_interp(bary, vals):
+    """Barycentric interpolation sum_k bary[...,k] * vals[...,k,:].
+
+    Elementwise multiply-add on purpose (not einsum): XLA lowers the
+    contraction onto the MXU at DEFAULT precision, bf16-rounding the
+    interpolated hit point — which then seeds shadow/secondary ray
+    origins with ~3e-3 relative error (acne). VPU fp32 is exact and
+    faster at k=3 widths anyway.
+    """
+    return jnp.sum(bary[..., None] * vals, axis=-2)

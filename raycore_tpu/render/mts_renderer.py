@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..core.ray import Ray
+from ..core.triangle import bary_interp
 from ..core.sampling import reflect
 from ..accel import dispatch as _disp
 from ..accel.types import StaticTLAS
@@ -104,8 +105,8 @@ def render_step_mts(scene: StaticTLAS, sset: StaticMultiTypeSet,
     res = _disp.scene_closest_hit(scene, rays, tile_size=cfg.tile_size)
     hit = res.hit
     tri = res.triangle
-    p = jnp.einsum("rk,rkc->rc", res.barycentric, tri.vertices)
-    n = jnp.einsum("rk,rkc->rc", res.barycentric, tri.normals)
+    p = bary_interp(res.barycentric, tri.vertices)
+    n = bary_interp(res.barycentric, tri.normals)
     nl = jnp.linalg.norm(n, axis=-1, keepdims=True)
     n = jnp.where(nl > 1e-8, n / jnp.where(nl > 0, nl, 1.0), 0.0)
     n = jnp.where(jnp.sum(n * rays.d, -1, keepdims=True) > 0, -n, n)
@@ -143,8 +144,8 @@ def render_step_mts(scene: StaticTLAS, sset: StaticMultiTypeSet,
         tile_size=cfg.tile_size)
     rres = jax.tree_util.tree_map(lambda a: a[inv], rres)
     r_tri = rres.triangle
-    r_p = jnp.einsum("rk,rkc->rc", rres.barycentric, r_tri.vertices)
-    r_n = jnp.einsum("rk,rkc->rc", rres.barycentric, r_tri.normals)
+    r_p = bary_interp(rres.barycentric, r_tri.vertices)
+    r_n = bary_interp(rres.barycentric, r_tri.normals)
     rl = jnp.linalg.norm(r_n, -1, keepdims=True)
     r_n = jnp.where(rl > 1e-8, r_n / jnp.where(rl > 0, rl, 1.0), 0.0)
     r_ti, r_ri = unpack_key(r_tri.metadata)

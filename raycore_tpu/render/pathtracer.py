@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..core.ray import Ray
+from ..core.triangle import bary_interp
 from ..core.sampling import cosine_sample_hemisphere, reflect
 from ..accel import dispatch as _disp
 from ..collections.multitypeset import TexturePool, sample_nearest
@@ -93,12 +94,12 @@ def trace_paths(scene, materials: Materials, lights: PointLights,
             tile_size=cfg.tile_size)
         hit = res.hit & alive
         tri = res.triangle
-        p = jnp.einsum("rk,rkc->rc", res.barycentric, tri.vertices)
-        n = jnp.einsum("rk,rkc->rc", res.barycentric, tri.normals)
+        p = bary_interp(res.barycentric, tri.vertices)
+        n = bary_interp(res.barycentric, tri.normals)
         ln = jnp.linalg.norm(n, axis=-1, keepdims=True)
         n = jnp.where(ln > 1e-8, n / jnp.where(ln > 0, ln, 1.0), 0.0)
         n = jnp.where(jnp.sum(n * d, -1, keepdims=True) > 0, -n, n)
-        uv_hit = jnp.einsum("rk,rku->ru", res.barycentric, tri.uv)
+        uv_hit = bary_interp(res.barycentric, tri.uv)
 
         # Escaped rays pick up the environment once.
         radiance = radiance + jnp.where((alive & ~res.hit)[:, None],
@@ -189,12 +190,12 @@ def _pt_prep_nee(res_hit, res_bary, res_verts, res_norms, res_uv, res_meta,
                  d, alive, materials, lights, u_l, eps, pool, tex_refs):
     """After closest-hit: surface frame + NEE shadow-ray setup."""
     hit = res_hit & alive
-    p = jnp.einsum("rk,rkc->rc", res_bary, res_verts)
-    n = jnp.einsum("rk,rkc->rc", res_bary, res_norms)
+    p = bary_interp(res_bary, res_verts)
+    n = bary_interp(res_bary, res_norms)
     ln = jnp.linalg.norm(n, axis=-1, keepdims=True)
     n = jnp.where(ln > 1e-8, n / jnp.where(ln > 0, ln, 1.0), 0.0)
     n = jnp.where(jnp.sum(n * d, -1, keepdims=True) > 0, -n, n)
-    uv_hit = jnp.einsum("rk,rku->ru", res_bary, res_uv)
+    uv_hit = bary_interp(res_bary, res_uv)
     mi = jnp.clip(res_meta.astype(jnp.int32), 0,
                   materials.base_color.shape[0] - 1)
     base = _albedo(materials, pool, tex_refs, mi, uv_hit)

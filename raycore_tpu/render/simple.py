@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.ray import Ray
+from ..core.triangle import bary_interp
 from ..core.sampling import reflect, concentric_sample_disk
 from ..accel import dispatch as _disp
 from .wavefront import Camera, Materials, PointLights, camera_basis
@@ -57,8 +58,8 @@ def trace(kernel: Callable[..., jnp.ndarray], scene, cam: Camera, *,
     kc, ks = jax.random.split(key)
     rays = _primary(cam, width, height, spp, kc)
     res = _disp.scene_closest_hit(scene, rays, tile_size=tile_size)
-    p = jnp.einsum("rk,rkc->rc", res.barycentric, res.triangle.vertices)
-    n = jnp.einsum("rk,rkc->rc", res.barycentric, res.triangle.normals)
+    p = bary_interp(res.barycentric, res.triangle.vertices)
+    n = bary_interp(res.barycentric, res.triangle.normals)
     ln = jnp.linalg.norm(n, axis=-1, keepdims=True)
     n = jnp.where(ln > 1e-8, n / jnp.where(ln > 0, ln, 1.0), 0.0)
     n = jnp.where(jnp.sum(n * rays.d, -1, keepdims=True) > 0, -n, n)
@@ -151,8 +152,8 @@ def reflective_kernel(scene, sh: Shading, key, *, lights: PointLights,
         scene, Ray.create(o=sh.point + sh.normal * eps, d=rd,
                           t_max=jnp.where(active, jnp.inf, -1.0)),
         tile_size=tile_size)
-    rp = jnp.einsum("rk,rkc->rc", rres.barycentric, rres.triangle.vertices)
-    rn = jnp.einsum("rk,rkc->rc", rres.barycentric, rres.triangle.normals)
+    rp = bary_interp(rres.barycentric, rres.triangle.vertices)
+    rn = bary_interp(rres.barycentric, rres.triangle.normals)
     rln = jnp.linalg.norm(rn, -1, keepdims=True)
     rn = jnp.where(rln > 1e-8, rn / jnp.where(rln > 0, rln, 1.0), 0.0)
     rsh = Shading(rays=Ray.create(o=sh.point, d=rd), hit=rres.hit, point=rp,

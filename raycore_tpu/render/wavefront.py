@@ -25,6 +25,7 @@ import numpy as np
 from flax import struct
 
 from ..core.ray import Ray
+from ..core.triangle import bary_interp
 from ..core.sampling import reflect
 from ..accel import dispatch as _disp
 from ..accel.types import StaticTLAS
@@ -156,10 +157,10 @@ def render_step(scene: StaticTLAS, materials: Materials, lights: PointLights,
 
     hit = res.hit
     tri = res.triangle
-    hit_p = jnp.einsum("rk,rkc->rc", res.barycentric, tri.vertices)
+    hit_p = bary_interp(res.barycentric, tri.vertices)
     # Smooth normal from barycentric-interpolated vertex normals; flip
     # toward the viewer (face_forward).
-    n = jnp.einsum("rk,rkc->rc", res.barycentric, tri.normals)
+    n = bary_interp(res.barycentric, tri.normals)
     nl = jnp.linalg.norm(n, axis=-1, keepdims=True)
     n = jnp.where(nl > 1e-8, n / jnp.where(nl > 0, nl, 1.0), 0.0)
     n = jnp.where(jnp.sum(n * rays.d, -1, keepdims=True) > 0, -n, n)
@@ -203,8 +204,8 @@ def render_step(scene: StaticTLAS, materials: Materials, lights: PointLights,
     rres = jax.tree_util.tree_map(lambda a: a[inv_order], rres)
 
     r_tri = rres.triangle
-    r_p = jnp.einsum("rk,rkc->rc", rres.barycentric, r_tri.vertices)
-    r_n = jnp.einsum("rk,rkc->rc", rres.barycentric, r_tri.normals)
+    r_p = bary_interp(rres.barycentric, r_tri.vertices)
+    r_n = bary_interp(rres.barycentric, r_tri.normals)
     rnl = jnp.linalg.norm(r_n, axis=-1, keepdims=True)
     r_n = jnp.where(rnl > 1e-8, r_n / jnp.where(rnl > 0, rnl, 1.0), 0.0)
     r_n = jnp.where(jnp.sum(r_n * rd, -1, keepdims=True) > 0, -r_n, r_n)
