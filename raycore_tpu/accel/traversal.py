@@ -61,12 +61,17 @@ def _traverse_tile(tlas: StaticTLAS, o_w, d_w, t_min, t_max0, *,
         best_u=jnp.zeros((R,), jnp.float32),
         best_v=jnp.zeros((R,), jnp.float32),
         iters=jnp.int32(0),
+        ovf=jnp.zeros((), bool),     # any lane pushed past the stack top
     )
 
     slots = jnp.arange(stack_size, dtype=jnp.int32)[None, :]
 
     def cond(s):
-        return jnp.any(s["node"] != _INVALID) & (s["iters"] < max_iters)
+        # An overflowed tile terminates immediately: its results are
+        # discarded (the caller re-runs with the proven-depth stack), and
+        # a corrupted stack could otherwise cycle until max_iters.
+        return jnp.any(s["node"] != _INVALID) & (s["iters"] < max_iters) \
+            & ~s["ovf"]
 
     def body(s):
         node, base, inst = s["node"], s["base"], s["inst"]
@@ -122,6 +127,11 @@ def _traverse_tile(tlas: StaticTLAS, o_w, d_w, t_min, t_max0, *,
         do_push = (case_internal & (far != _INVALID)) | enter
         push_val = jnp.where(enter, _SENTINEL, far)
         sptr1 = jnp.where(do_push, s["sptr"] + 1, s["sptr"])
+        # A push past the top would silently overwrite the top slot and
+        # drop a far child (wrong closer-miss, no error). Detect it; the
+        # eager wrappers re-run with the proven-depth stack (VERDICT r1
+        # #10). The clip below keeps indices in range either way.
+        ovf = s["ovf"] | jnp.any(do_push & (sptr1 > stack_size - 1))
         write = (slots == jnp.clip(sptr1, 0, stack_size - 1)[:, None]) \
             & do_push[:, None]
         stack = jnp.where(write, push_val[:, None], s["stack"])
@@ -166,7 +176,7 @@ def _traverse_tile(tlas: StaticTLAS, o_w, d_w, t_min, t_max0, *,
                     o=o_next, d=d_next, invd=invd_next, t_max=t_max,
                     best_inst=best_inst, best_prim=best_prim,
                     best_u=best_u, best_v=best_v,
-                    iters=s["iters"] + 1)
+                    iters=s["iters"] + 1, ovf=ovf)
 
     def multi_body(s):
         # Unroll several traversal steps per while iteration: the carried
@@ -178,7 +188,8 @@ def _traverse_tile(tlas: StaticTLAS, o_w, d_w, t_min, t_max0, *,
 
     out = jax.lax.while_loop(cond, multi_body, init)
     return (out["best_inst"], out["best_prim"], out["t_max"],
-            out["best_u"], out["best_v"])
+            out["best_u"], out["best_v"],
+            jnp.broadcast_to(out["ovf"], (R,)))
 
 
 def _finalize(tlas: StaticTLAS, best_inst, best_prim, t_maxed, u, v,
@@ -232,8 +243,48 @@ def _trace(tlas: StaticTLAS, o, d, t_min, t_max, *, any_hit: bool,
                               substeps=substeps)
 
     outs = jax.lax.map(one, (tiles(o), tiles(d), tiles(t_min), tiles(t_max)))
-    flat = tuple(x.reshape((padded,) + x.shape[2:])[:R0] for x in outs)
-    return _finalize(tlas, *flat, batch_shape=(R0,))
+    flat = tuple(x.reshape((padded,) + x.shape[2:])[:R0] for x in outs[:5])
+    return _finalize(tlas, *flat, batch_shape=(R0,)), jnp.any(outs[5])
+
+
+def stack_depth_bound(tlas: StaticTLAS) -> int:
+    """Proven worst-case traversal stack need. A Karras radix tree over
+    n leaves with 30-bit codes + index tiebreak has root-leaf depth
+    <= 30 + ceil(log2 n): every path step either consumes a code bit or
+    bisects a duplicate-code run by index (karras_topology's delta
+    tiebreak, accel/lbvh.py). Stack occupancy <= TLAS depth + 1 sentinel
+    + BLAS depth; unified_nodes row count bounds both leaf counts."""
+    import math
+    n = max(int(tlas.unified_nodes.shape[0]), 2)
+    per_level = 30 + math.ceil(math.log2(n))
+    return 2 * per_level + 2
+
+
+def _query(tlas, rays, *, any_hit: bool, stack_size: int, tile_size: int,
+           max_iters: int, substeps: int, force_tmin0: bool) -> HitResult:
+    batch = rays.batch_shape
+    flat = lambda a: a.reshape((-1,) + a.shape[len(batch):])
+    o = flat(rays.o)
+    bound = stack_depth_bound(tlas)
+    if isinstance(o, jax.core.Tracer):
+        # Inside a caller's jit we cannot read the overflow flag; use the
+        # proven-depth stack up front so overflow is impossible.
+        stack_size = max(stack_size, bound)
+    args = (tlas, o, flat(rays.d), flat(rays.t_min), flat(rays.t_max))
+    kw = dict(any_hit=any_hit, max_iters=max_iters,
+              tile_size=min(tile_size, max(o.shape[0], 8)),
+              substeps=substeps, force_tmin0=force_tmin0)
+    res, ovf = _trace(*args, stack_size=stack_size, **kw)
+    if not isinstance(ovf, jax.core.Tracer) and stack_size < bound \
+            and bool(ovf):
+        # A push ran past the stack top: the short-stack result may have
+        # dropped far children. Re-run once with the proven-depth stack
+        # (cannot overflow); costs one recompile, triggers only on
+        # adversarially deep trees.
+        res, ovf = _trace(*args, stack_size=bound, **kw)
+        assert not bool(ovf), "traversal overflowed its proven stack bound"
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape(batch + a.shape[1:]), res)
 
 
 def closest_hit(tlas: StaticTLAS, rays: Ray, *, stack_size: int = 64,
@@ -241,16 +292,15 @@ def closest_hit(tlas: StaticTLAS, rays: Ray, *, stack_size: int = 64,
                 substeps: int = 4) -> HitResult:
     """Closest-hit query over a batched Ray (reference closest_hit,
     src/instanced-bvh.jl:1902-2023). Returns a HitResult pytree with the
-    ray batch shape; zero-triangle sentinel and -1 indices on miss."""
-    batch = rays.batch_shape
-    flat = lambda a: a.reshape((-1,) + a.shape[len(batch):])
-    o = flat(rays.o)
-    res = _trace(tlas, o, flat(rays.d), flat(rays.t_min), flat(rays.t_max),
-                 any_hit=False, stack_size=stack_size, max_iters=max_iters,
-                 tile_size=min(tile_size, max(o.shape[0], 8)),
-                 substeps=substeps)
-    return jax.tree_util.tree_map(
-        lambda a: a.reshape(batch + a.shape[1:]), res)
+    ray batch shape; zero-triangle sentinel and -1 indices on miss.
+
+    Stack safety: overflow of the fast 64-slot stack is detected in-loop
+    and the query transparently re-runs with the proven-depth stack
+    (`stack_depth_bound`); under tracing the proven bound is used up
+    front, so results are exact either way."""
+    return _query(tlas, rays, any_hit=False, stack_size=stack_size,
+                  tile_size=tile_size, max_iters=max_iters,
+                  substeps=substeps, force_tmin0=False)
 
 
 def any_hit(tlas: StaticTLAS, rays: Ray, *, stack_size: int = 64,
@@ -260,12 +310,6 @@ def any_hit(tlas: StaticTLAS, rays: Ray, *, stack_size: int = 64,
     (src/instanced-bvh.jl:2045) and terminates each lane on its first hit.
     The reported hit is traversal-order-first, not closest — only the
     boolean and occluder identity are contractual."""
-    batch = rays.batch_shape
-    flat = lambda a: a.reshape((-1,) + a.shape[len(batch):])
-    o = flat(rays.o)
-    res = _trace(tlas, o, flat(rays.d), flat(rays.t_min), flat(rays.t_max),
-                 any_hit=True, stack_size=stack_size, max_iters=max_iters,
-                 tile_size=min(tile_size, max(o.shape[0], 8)),
-                 substeps=substeps, force_tmin0=True)
-    return jax.tree_util.tree_map(
-        lambda a: a.reshape(batch + a.shape[1:]), res)
+    return _query(tlas, rays, any_hit=True, stack_size=stack_size,
+                  tile_size=tile_size, max_iters=max_iters,
+                  substeps=substeps, force_tmin0=True)

@@ -201,15 +201,29 @@ def intersect_p(b: Bounds3, ray_o, t_max, inv_dir, dir_is_negative=None):
 
 
 def fast_intersect_bbox(ray_o, ray_inv_d, p_min, p_max, t_min, t_max):
-    """Slab test used in BVH traversal hot loops, exact semantics of the
-    reference `fast_intersect_bbox` (src/instanced-bvh.jl:1841-1859):
-    returns ``(entry_t, exit_t)`` where entry<=exit iff hit. Inputs are raw
-    arrays (broadcastable), not Bounds3, so callers can feed packed nodes."""
+    """Slab test used in BVH traversal hot loops (reference
+    `fast_intersect_bbox`, src/instanced-bvh.jl:1841-1859): returns
+    ``(entry_t, exit_t)`` where entry<=exit iff hit. Inputs are raw
+    arrays (broadcastable), not Bounds3, so callers can feed packed nodes.
+
+    Deliberate fix over the reference: an axis-parallel ray (safe_invdir
+    clamps |d|<1e-5 to ±1e5) whose origin lies INSIDE the slab never
+    exits it, but the clamped products report an exit at |o-b|*1e5 —
+    which falsely rejects a node whose face is within ~t*1e-5 of the
+    origin coordinate (found at 1/5000 rate on axis-aligned primary
+    grids; the bundle interval tests got the same fix in round 1). Such
+    axes are treated as all-t when the origin is inside, empty when
+    outside."""
     oxinv = -ray_o * ray_inv_d
     f = p_max * ray_inv_d + oxinv
     n = p_min * ray_inv_d + oxinv
     hi = jnp.maximum(f, n)
     lo = jnp.minimum(f, n)
+    par = jnp.abs(ray_inv_d) >= 0.99e5          # safe_invdir clamp
+    inside = (ray_o >= p_min) & (ray_o <= p_max)
+    inf = jnp.inf
+    lo = jnp.where(par, jnp.where(inside, -inf, inf), lo)
+    hi = jnp.where(par, jnp.where(inside, inf, -inf), hi)
     max_t = jnp.minimum(jnp.min(hi, axis=-1), t_max)
     min_t = jnp.maximum(jnp.max(lo, axis=-1), t_min)
     return min_t, max_t
