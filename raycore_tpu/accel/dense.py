@@ -76,6 +76,11 @@ class DenseScene:
     payload_mask: int = struct.field(pytree_node=False, default=0b111)
     # payload_mask bits: 1 = normals nonzero, 2 = tangents nonzero,
     # 4 = uv nonzero. Zero fields skip their gather and broadcast zeros.
+    instance_of_prim: jnp.ndarray | None = None
+    # (K*C,) int32 instance slot per sorted triangle (-1 on padding), set
+    # by baked instanced scenes (scene/bake.py); None for single-geometry
+    # builds, where hits report instance 0. Mirrors the reference's
+    # instance_idx traversal output (src/instanced-bvh.jl:2010-2023).
 
     @property
     def n_clusters(self) -> int:
@@ -188,7 +193,8 @@ def _build_dense(sorted_tris: Triangle, cluster_size: int,
 
 
 def build_dense(tris: Triangle, cluster_size: int = 256,
-                sub_chunks: int = 1, layout: str = "tiles") -> DenseScene:
+                sub_chunks: int = 1, layout: str = "tiles",
+                instance_of=None) -> DenseScene:
     """Cluster + featurize a triangle soup. Triangles are spatially sorted
     first (clusters must be spatially coherent); capacity pads to a
     multiple of cluster_size with far-away sentinels.
@@ -197,16 +203,27 @@ def build_dense(tris: Triangle, cluster_size: int = 256,
     clusters are compact axis-aligned tiles (~3-4x fewer phase-A
     candidates than Morton chunks on heightfield-like scenes).
     layout="morton": raw Morton-chunk clustering (one sort; marginally
-    cheaper build, fatter clusters)."""
+    cheaper build, fatter clusters).
+
+    instance_of: optional (T,) int32 instance slot per input triangle
+    (bake_dense supplies it); carried through the spatial sort so hits
+    report the owning instance."""
     from .lbvh import morton_sort_triangles, tile_sort_triangles
     from .types import next_pow2
     n = tris.vertices.shape[0]
     cap = max(next_pow2(n), cluster_size)
     if layout == "tiles":
-        sorted_tris = tile_sort_triangles(tris, cap, cluster_size)
+        sorted_tris, perm = tile_sort_triangles(tris, cap, cluster_size,
+                                                return_perm=True)
     else:
-        sorted_tris = morton_sort_triangles(tris, cap)   # no BVH needed
+        sorted_tris, perm = morton_sort_triangles(tris, cap,
+                                                  return_perm=True)
     scene = _build_dense(sorted_tris, cluster_size, sub_chunks)
+    if instance_of is not None:
+        inst_p = jnp.concatenate([
+            jnp.asarray(instance_of, jnp.int32),
+            jnp.full((cap - n,), -1, jnp.int32)])
+        scene = scene.replace(instance_of_prim=jnp.take(inst_p, perm))
     import numpy as np
     f = np.asarray(_payload_flags(tris.normals, tris.tangents, tris.uv))
     return scene.replace(payload_mask=int(1 * f[0] + 2 * f[1] + 4 * f[2]))
@@ -413,6 +430,16 @@ def _closest_hit_dense_flat(scene: DenseScene, o, d, t_min, t_max, *,
             flat(out["best_u"]), flat(out["best_v"]))
 
 
+def _hit_instance_idx(scene: DenseScene, pair, hit):
+    """Owning-instance index for winning prims: the baked side array when
+    present (reference traversal returns instance_idx,
+    src/instanced-bvh.jl:2010-2023), else instance 0."""
+    if scene.instance_of_prim is None:
+        return jnp.where(hit, 0, -1)
+    inst = jnp.take(scene.instance_of_prim, jnp.clip(pair, 0, None))
+    return jnp.where(hit, inst, -1)
+
+
 def finalize_hits(scene: DenseScene, pair, t, u, v) -> HitResult:
     """HitResult from raw best arrays (jit this together with the query —
     eager glue on the tunneled backend costs ~ms per op)."""
@@ -422,7 +449,7 @@ def finalize_hits(scene: DenseScene, pair, t, u, v) -> HitResult:
     return HitResult(hit=hit, triangle=tri, t=jnp.where(hit, t, 0.0),
                      barycentric=bary,
                      prim_idx=jnp.where(hit, pair, -1),
-                     instance_idx=jnp.where(hit, 0, -1))
+                     instance_idx=_hit_instance_idx(scene, pair, hit))
 
 
 def finalize_hits_exact(scene: DenseScene, pair, t_approx, o, d) -> HitResult:
@@ -451,7 +478,7 @@ def finalize_hits_exact(scene: DenseScene, pair, t_approx, o, d) -> HitResult:
     return HitResult(hit=hit, triangle=tri, t=jnp.where(hit, t, 0.0),
                      barycentric=bary,
                      prim_idx=jnp.where(hit, pair, -1),
-                     instance_idx=jnp.where(hit, 0, -1))
+                     instance_idx=_hit_instance_idx(scene, pair, hit))
 
 
 @partial(jax.jit, static_argnames=("tile", "select_per_round", "max_rounds"))

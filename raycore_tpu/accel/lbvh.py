@@ -250,12 +250,18 @@ def _morton_sort_padded(tris: Triangle):
         _normalize_centroids(centers, scene_min, scene_max))
     order = jnp.arange(v.shape[0], dtype=jnp.int32)
     _, perm = jax.lax.sort((codes, order), num_keys=1, is_stable=True)
-    return jax.tree_util.tree_map(lambda a: jnp.take(a, perm, axis=0), tris)
+    return (jax.tree_util.tree_map(lambda a: jnp.take(a, perm, axis=0), tris),
+            perm)
 
 
-def morton_sort_triangles(tris: Triangle, capacity: int) -> Triangle:
-    """Pad to capacity and Morton-sort (padding sentinels sort last)."""
-    return _morton_sort_padded(pad_triangles(tris, capacity))
+def morton_sort_triangles(tris: Triangle, capacity: int,
+                          return_perm: bool = False):
+    """Pad to capacity and Morton-sort (padding sentinels sort last).
+    With return_perm, also returns the (capacity,) permutation applied
+    (entries >= n point at padding), so callers can carry side arrays —
+    e.g. bake_dense's per-triangle instance index."""
+    out, perm = _morton_sort_padded(pad_triangles(tris, capacity))
+    return (out, perm) if return_perm else out
 
 
 @partial(jax.jit, static_argnames=("axes", "s0", "s1"))
@@ -298,16 +304,18 @@ def _tile_sort_padded(tris: Triangle, *, axes: tuple, s0: int, s1: int):
     realp = jnp.take(real, perm)
     q2 = jnp.where(realp, jnp.take(q[:, axes[2]], perm), jnp.int32(65536))
     perm = jnp.take(perm, sort_perm(slab * 65537 + q2))
-    return jax.tree_util.tree_map(lambda a: jnp.take(a, perm, axis=0), tris)
+    return (jax.tree_util.tree_map(lambda a: jnp.take(a, perm, axis=0), tris),
+            perm)
 
 
 def tile_sort_triangles(tris: Triangle, capacity: int,
-                        cluster_size: int) -> Triangle:
+                        cluster_size: int, return_perm: bool = False):
     """Pad to capacity and sort into count-balanced spatial tiles of
     ``cluster_size``. Strip/slab counts are powers of two chosen by
     greedily halving the currently-longest scene extent (one small host
     sync for the 6 scene-bound floats; the sort itself is jitted and
-    shape-bucketed like the Morton path)."""
+    shape-bucketed like the Morton path). With return_perm, also returns
+    the applied (capacity,) permutation (entries >= n are padding)."""
     import numpy as np
     padded = pad_triangles(tris, capacity)
     # Reduce on device, pull only 6 floats (vertices can be tens of MB and
@@ -326,7 +334,8 @@ def tile_sort_triangles(tris: Triangle, capacity: int,
     axes = tuple(int(a) for a in np.argsort(-np.asarray(bits, np.float64)
                                             - ext / ext.max() * 0.5))
     s0, s1 = 1 << bits[axes[0]], 1 << bits[axes[1]]
-    return _tile_sort_padded(padded, axes=axes, s0=s0, s1=s1)
+    out, perm = _tile_sort_padded(padded, axes=axes, s0=s0, s1=s1)
+    return (out, perm) if return_perm else out
 
 
 def build_blas(tris: Triangle, capacity: int | None = None) -> BLAS:

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..accel.dense import DenseScene, build_dense
-from ..core.transforms import transform_point_3x4
+from ..core.transforms import transform_point_3x4, _apply_mat3
 from ..core.triangle import Triangle
 
 
@@ -39,7 +39,7 @@ def flatten_world_triangles(mgr) -> tuple[Triangle, jnp.ndarray]:
         # Normals transform by inverse-transpose of the 3x3 block.
         R = np.asarray(rec.transform)[:, :3]
         R_it = np.linalg.inv(R).T.astype(np.float32)
-        nrm = jnp.einsum("ij,tkj->tki", jnp.asarray(R_it), take(tris.normals))
+        nrm = _apply_mat3(jnp.asarray(R_it), take(tris.normals))
         parts.append(Triangle(
             vertices=v, normals=nrm,
             tangents=take(tris.tangents), uv=take(tris.uv),
@@ -51,6 +51,9 @@ def flatten_world_triangles(mgr) -> tuple[Triangle, jnp.ndarray]:
 
 
 def bake_dense(mgr, cluster_size: int = 128) -> DenseScene:
-    """Bake a mutable TLAS into a DenseScene (static fast path)."""
-    soup, _ = flatten_world_triangles(mgr)
-    return build_dense(soup, cluster_size=cluster_size)
+    """Bake a mutable TLAS into a DenseScene (static fast path). Hits
+    report the owning instance slot via the scene's instance_of_prim
+    side array (matches the TLAS traversal's instance_idx)."""
+    soup, inst_of = flatten_world_triangles(mgr)
+    return build_dense(soup, cluster_size=cluster_size,
+                       instance_of=inst_of)

@@ -139,3 +139,14 @@ def test_bake_dense_matches_tlas():
     mm = m & (np.asarray(rt.t) > 0)
     assert (np.asarray(rt.triangle.metadata)[mm]
             == np.asarray(rd.triangle.metadata)[mm]).mean() > 0.98
+    # Instance identity survives baking (VERDICT r1 #8): baked hits must
+    # report the same instance slot the TLAS traversal reports.
+    np.testing.assert_array_equal(np.asarray(rt.instance_idx)[m],
+                                  np.asarray(rd.instance_idx)[m])
+    assert np.asarray(rd.instance_idx)[~m].max(initial=-1) == -1
+    # The Pallas worklist engine's finalize path reports it too.
+    from raycore_tpu.ops.pallas_dense import closest_hit_dense_pallas_auto
+    rp = closest_hit_dense_pallas_auto(scene_d, rays, tile=128)
+    np.testing.assert_array_equal(np.asarray(rt.hit), np.asarray(rp.hit))
+    np.testing.assert_array_equal(np.asarray(rt.instance_idx)[m],
+                                  np.asarray(rp.instance_idx)[m])
