@@ -116,13 +116,23 @@ def _kernel_body(cids_ref, phi_ref, feats_ref, sub_ref, tmin_ref, key0_ref,
         cur_t = jax.lax.bitcast_convert_type(cur_key & ~mask, jnp.float32)
         lo = tmin
         hi = cur_t
+        CL = jnp.float32(0.99e5)   # safe_invdir clamp detector
         for a in range(3):
             bmin_a = sub_ref[0, 0, s * 6 + a]
             bmax_a = sub_ref[0, 0, s * 6 + 3 + a]
             t0 = (bmin_a - o[:, a:a + 1]) * invd[:, a:a + 1]
             t1 = (bmax_a - o[:, a:a + 1]) * invd[:, a:a + 1]
-            lo = jnp.maximum(lo, jnp.minimum(t0, t1))
-            hi = jnp.minimum(hi, jnp.maximum(t0, t1))
+            alo = jnp.minimum(t0, t1)
+            ahi = jnp.maximum(t0, t1)
+            # Axis-parallel correction (see core.bounds.fast_intersect_
+            # bbox): clamped invdir reports a false exit for rays whose
+            # origin sits inside the slab.
+            par = jnp.abs(invd[:, a:a + 1]) >= CL
+            inside = (o[:, a:a + 1] >= bmin_a) & (o[:, a:a + 1] <= bmax_a)
+            alo = jnp.where(par, jnp.where(inside, -jnp.inf, jnp.inf), alo)
+            ahi = jnp.where(par, jnp.where(inside, jnp.inf, -jnp.inf), ahi)
+            lo = jnp.maximum(lo, alo)
+            hi = jnp.minimum(hi, ahi)
         sub_live = jnp.any(lo <= hi)
 
         def test_sub(cur, s=s):
@@ -225,6 +235,172 @@ def _run_worklist(tids, cids, phi, feats, sub_bounds, tmin, key0, *,
     return key[:, 0], pair[:, 0]
 
 
+# --- occlusion (any_hit) kernel ---------------------------------------------
+# Reference any_hit early-exits on the first accepted hit and only the
+# boolean + occluder identity are contractual (src/instanced-bvh.jl:
+# 2034-2140). The dedicated kernel carries ONE int32 per ray (occluder
+# prim, -1 = free), tests t against the ray's ORIGINAL t_max (no best-t
+# shrinking), and skips a block's matmul entirely once every ray in the
+# tile is occluded — the TPU analogue of the per-thread early return.
+
+
+def _occl_kernel(tids_ref, cids_ref, phi_ref, feats_ref, tmin_ref,
+                 tmax_ref, pair0_ref, pair_out, *, C: int,
+                 edge_eps: float, n_dummy_tile: int):
+    b = pl.program_id(0)
+    tid = tids_ref[b]
+    prev_tid = tids_ref[jnp.maximum(b - 1, 0)]
+    first = (b == 0) | (tid != prev_tid)
+    cid = cids_ref[b]
+    valid = tid != n_dummy_tile
+
+    @pl.when(valid)
+    def _():
+        cur = jnp.where(first, pair0_ref[:], pair_out[:])    # (TILE, 1)
+
+        def test(cur):
+            phi = phi_ref[:]
+            feats = feats_ref[0]
+            q = jax.lax.dot_general(
+                phi, feats, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_MATMUL_PRECISION)                 # (TILE, 4C)
+            det = q[:, 0 * C:1 * C]
+            udet = q[:, 1 * C:2 * C]
+            vdet = q[:, 2 * C:3 * C]
+            tdet = q[:, 3 * C:4 * C]
+            r = 1.0 / det
+            u = udet * r
+            v = vdet * r
+            t = tdet * r
+            e = edge_eps
+            ok = (u >= -e) & (u <= 1.0 + e) & (v >= -e) \
+                & (u + v <= 1.0 + e) & (t >= tmin_ref[:]) \
+                & (t <= tmax_ref[:])
+            ids = jax.lax.broadcasted_iota(jnp.int32, ok.shape, 1)
+            lane = jnp.min(jnp.where(ok, ids, jnp.int32(C)), axis=1,
+                           keepdims=True)
+            found = lane < C
+            return jnp.where((cur < 0) & found, cid * C + lane, cur)
+
+        # Early exit: skip the matmul once the whole tile is occluded.
+        cur = jax.lax.cond(jnp.any(cur < 0), test, lambda c: c, cur)
+        pair_out[:] = cur
+
+
+@partial(jax.jit, static_argnames=("TILE", "C", "n_blocks", "interpret"))
+def _run_occlusion(tids, cids, phi, feats, tmin, tmax, *, TILE: int,
+                   C: int, n_blocks: int, interpret: bool):
+    """Occlusion sweep over a tile-sorted worklist. Returns (R,) occluder
+    prim per ray (-1 = unoccluded). Same chunking contract as
+    _run_worklist."""
+    R = phi.shape[0]
+    n_dummy_tile = R // TILE - 1
+    kernel = partial(_occl_kernel, C=C, edge_eps=1e-5,
+                     n_dummy_tile=n_dummy_tile)
+    spec_tile = pl.BlockSpec((TILE, 1), lambda b, t, c: (t[b], 0))
+    pair = jnp.full((R, 1), -1, jnp.int32)
+    n_chunks = -(-n_blocks // WORKLIST_CHUNK)
+    for ch in range(n_chunks):
+        lo = ch * WORKLIST_CHUNK
+        sz = min(WORKLIST_CHUNK, n_blocks - lo)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(sz,),
+            in_specs=[
+                pl.BlockSpec((TILE, FEAT), lambda b, t_, c: (t_[b], 0)),
+                pl.BlockSpec((1, FEAT, 4 * C),
+                             lambda b, t_, c: (c[b], 0, 0)),
+                spec_tile, spec_tile, spec_tile,
+            ],
+            out_specs=[spec_tile],
+        )
+        pair, = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((R, 1), jnp.int32)],
+            input_output_aliases={6: 0},
+            interpret=interpret,
+        )(tids[lo:lo + sz], cids[lo:lo + sz], phi, feats, tmin, tmax, pair)
+    return pair[:, 0]
+
+
+@partial(jax.jit, static_argnames=("TILE", "max_pairs", "interpret"))
+def _occl_phase_a(scene, o, d, t_min, t_max, *, TILE: int, max_pairs: int,
+                  interpret: bool):
+    from ..accel.dense import ray_features
+    R0 = o.shape[0]
+    d = jnp.where(d == 0.0, 0.0, d)
+    pad0 = (-R0) % TILE
+    if pad0:
+        ext = lambda a, f: jnp.concatenate(
+            [a, jnp.full((pad0,) + a.shape[1:], f, a.dtype)])
+        o, d = ext(o, 0.0), ext(d, 1.0)
+        t_min, t_max = ext(t_min, 0.0), ext(t_max, -jnp.inf)
+    R = o.shape[0]
+    n_tiles = R // TILE
+    entry = phase_a_entry(scene, o, d, t_min, t_max, n_tiles, TILE,
+                          interpret)
+    tids, cids, total = build_worklist(entry, max_pairs)
+    phi_p = jnp.concatenate([ray_features(o, d),
+                             jnp.zeros((TILE, FEAT), jnp.float32)])
+    tmin_p = jnp.concatenate([t_min, jnp.zeros((TILE,))])[:, None]
+    tmax_p = jnp.concatenate([t_max, jnp.full((TILE,), -jnp.inf)])[:, None]
+    return tids, cids, total, phi_p, tmin_p, tmax_p
+
+
+@partial(jax.jit, static_argnames=("TILE", "n_blocks", "R0", "interpret"))
+def _occl_finalize(scene, tids, cids, phi_p, tmin_p, tmax_p, *, TILE: int,
+                   n_blocks: int, R0: int, interpret: bool):
+    from ..accel.dense import _hit_instance_idx
+    from ..accel.brute import HitResult
+    from ..core.triangle import Triangle
+    C = scene.cluster_size
+    pair = _run_occlusion(tids[:n_blocks], cids[:n_blocks], phi_p,
+                          scene.tri_feats, tmin_p, tmax_p, TILE=TILE,
+                          C=C, n_blocks=n_blocks, interpret=interpret)
+    pair = pair[:R0]
+    hit = pair >= 0
+    R = pair.shape[0]
+    z3 = jnp.zeros((R, 3, 3), jnp.float32)
+    tri = Triangle(vertices=z3, normals=z3, tangents=z3,
+                   uv=jnp.zeros((R, 3, 2), jnp.float32),
+                   metadata=jnp.zeros((R,), jnp.uint32))
+    return HitResult(hit=hit, triangle=tri,
+                     t=jnp.zeros((R,), jnp.float32),
+                     barycentric=jnp.zeros((R, 3), jnp.float32),
+                     prim_idx=jnp.where(hit, pair, -1),
+                     instance_idx=_hit_instance_idx(scene, pair, hit))
+
+
+def any_hit_dense_pallas_auto(scene, rays, *, tile: int = 512):
+    """Occlusion query via the dedicated any_hit kernel: first accepted
+    candidate wins, no best-t carry, no duplicate merge, no payload
+    gather — the boolean, occluder prim and instance are contractual
+    (t/bary/triangle are zeros; reference any_hit early-exit semantics,
+    src/instanced-bvh.jl:2034-2140). Forces t_min = 0 like the
+    reference. Auto-sizes the worklist with one host sync, same contract
+    as closest_hit_dense_pallas_auto."""
+    interpret = jax.default_backend() != "tpu"
+    batch = rays.batch_shape
+    flat = lambda a: a.reshape((-1,) + a.shape[len(batch):])
+    o = flat(rays.o)
+    R = o.shape[0]
+    TILE = min(tile, max(R, 8))
+    n_tiles = -(-R // TILE)
+    hard = n_tiles * scene.n_clusters
+    t_min0 = jnp.zeros_like(flat(rays.t_min))
+    tids, cids, total, phi_p, tmin_p, tmax_p = _occl_phase_a(
+        scene, o, flat(rays.d), t_min0, flat(rays.t_max), TILE=TILE,
+        max_pairs=hard, interpret=interpret)
+    nb = int(total)                         # the one host sync
+    nb = 1 << max(9, (max(nb, 1) - 1).bit_length())
+    nb = min(nb, hard)
+    res = _occl_finalize(scene, tids, cids, phi_p, tmin_p, tmax_p,
+                         TILE=TILE, n_blocks=nb, R0=R, interpret=interpret)
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape(batch + a.shape[1:]), res)
+
+
 def _phase_a_kernel(stats_ref, bounds_ref, entry_out):
     """Interval bundle-vs-AABB test, fused in VMEM.
 
@@ -286,6 +462,15 @@ def _phase_a_fast(stats, bounds, *, interpret: bool):
 
 def phase_a_entry(scene, o, d, t_min, t_max, n_tiles, TILE, interpret):
     """Tile stats + Pallas interval culling -> (n_tiles, K) entry bounds."""
+    return phase_a_entry_bounds(scene.cluster_min, scene.cluster_max,
+                                o, d, t_min, t_max, n_tiles, TILE,
+                                interpret)
+
+
+def phase_a_entry_bounds(bounds_min, bounds_max, o, d, t_min, t_max,
+                         n_tiles, TILE, interpret):
+    """phase_a_entry against arbitrary (K, 3) AABBs — the instanced
+    engine culls against per-instance world AABBs with the same kernel."""
     invd = safe_invdir(jnp.where(d == 0.0, 0.0, d))
     shp = lambda a: a.reshape((n_tiles, TILE) + a.shape[1:])
     o_t, invd_t = shp(o), shp(invd)
@@ -295,7 +480,7 @@ def phase_a_entry(scene, o, d, t_min, t_max, n_tiles, TILE, interpret):
         jnp.min(shp(t_min), axis=1)[:, None],
         jnp.max(shp(t_max), axis=1)[:, None],
         jnp.zeros((n_tiles, 2), jnp.float32)], axis=1)
-    bounds = jnp.concatenate([scene.cluster_min.T, scene.cluster_max.T])
+    bounds = jnp.concatenate([bounds_min.T, bounds_max.T])
     # Pad K to the lane block so the kernel grid divides evenly.
     K = bounds.shape[1]
     KB = min(1024, K)

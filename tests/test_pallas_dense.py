@@ -102,3 +102,65 @@ def test_overflow_detection(scene):
     r = closest_hit_dense_pallas(scene, rays, tile=64, max_pairs_per_tile=32)
     rb = rc.closest_hit_brute(scene.prims, rays)
     np.testing.assert_array_equal(np.asarray(r.hit), np.asarray(rb.hit))
+
+
+def test_occlusion_kernel_matches_closest(scene, rng):
+    from raycore_tpu.ops.pallas_dense import any_hit_dense_pallas_auto
+    xs = jnp.linspace(-0.9, 0.9, 24)
+    X, Y = jnp.meshgrid(xs, xs, indexing="ij")
+    o = jnp.stack([X, Y, jnp.full_like(X, 2.0)], -1).reshape(-1, 3)
+    d = jnp.broadcast_to(jnp.array([0.0, 0, -1.0]), o.shape)
+    rays = rc.Ray.create(o=o, d=d)
+    occ = any_hit_dense_pallas_auto(scene, rays, tile=128)
+    rb = rc.closest_hit_brute(scene.prims, rays)
+    np.testing.assert_array_equal(np.asarray(occ.hit), np.asarray(rb.hit))
+    # Reported occluder is a genuine intersection within [0, t_max]:
+    # recompute scalar Moller-Trumbore on the reported prim.
+    m = np.asarray(occ.hit)
+    prim = np.asarray(occ.prim_idx)[m]
+    assert (prim >= 0).all()
+    v = np.asarray(scene.prims.vertices)[prim]      # (H, 3, 3)
+    oo, dd = np.asarray(o)[m], np.asarray(d)[m]
+    e1, e2 = v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]
+    s1 = np.cross(dd, e2)
+    det = np.einsum("ij,ij->i", s1, e1)
+    r = 1.0 / det
+    dv = oo - v[:, 0]
+    u = np.einsum("ij,ij->i", dv, s1) * r
+    s2 = np.cross(dv, e1)
+    vv = np.einsum("ij,ij->i", dd, s2) * r
+    t = np.einsum("ij,ij->i", e2, s2) * r
+    eps = 1e-4
+    assert (u >= -eps).all() and (vv >= -eps).all() \
+        and (u + vv <= 1 + eps).all() and (t >= 0).all()
+
+
+def test_occlusion_kernel_t_range(scene):
+    from raycore_tpu.ops.pallas_dense import any_hit_dense_pallas_auto
+    # Surface max height ~0.3; origin at z=2. t_max=1.0 cannot reach it.
+    o = jnp.asarray([[0.1, 0.1, 2.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+    short = rc.Ray.create(o=o, d=d, t_max=1.0)
+    assert not bool(any_hit_dense_pallas_auto(scene, short, tile=8).hit[0])
+    # t_min is forced to 0 (reference any_hit semantics): a t_min beyond
+    # the surface still reports occluded.
+    late = rc.Ray.create(o=o, d=d, t_min=5.0)
+    assert bool(any_hit_dense_pallas_auto(scene, late, tile=8).hit[0])
+
+
+def test_occlusion_kernel_instance_idx():
+    from raycore_tpu.scene.tlas import TLAS
+    from raycore_tpu.scene.bake import bake_dense
+    from raycore_tpu.ops.pallas_dense import any_hit_dense_pallas_auto
+    mgr = TLAS()
+    mgr.push(rc.sphere_mesh(radius=1.0, n_theta=10, n_phi=20), None)
+    tr = np.eye(3, 4, dtype=np.float32)
+    tr[0, 3] = 3.0
+    mgr.push(rc.box_mesh(), tr)
+    ds = bake_dense(mgr, cluster_size=64)
+    o = jnp.asarray([[0.0, 0.0, -4.0], [3.0, 0.0, -4.0],
+                     [10.0, 0.0, -4.0]])
+    d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), o.shape)
+    occ = any_hit_dense_pallas_auto(ds, rc.Ray.create(o=o, d=d), tile=8)
+    np.testing.assert_array_equal(np.asarray(occ.hit), [True, True, False])
+    np.testing.assert_array_equal(np.asarray(occ.instance_idx), [0, 1, -1])
