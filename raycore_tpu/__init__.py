@@ -64,6 +64,8 @@ from .scene.mesh import (build_triangles, build_triangle,
 from .scene.obj import load_obj
 from .scene.io import save_scene, load_scene
 from .scene.bake import bake_dense, flatten_world_triangles
+from .scene.instanced import (DenseInstancedScene, bake_instanced,
+                              refresh_instances)
 from .collections.multitypeset import (MultiTypeSet, StaticMultiTypeSet,
                                        SetKey, TexturePool, with_index,
                                        is_invalid, is_valid_key,

@@ -61,14 +61,36 @@ def _dense_query(scene, rays, tile_size):
 def scene_closest_hit(scene, rays, *, tile_size: int = 16384) -> HitResult:
     if isinstance(scene, DenseScene):
         return _dense_query(scene, rays, tile_size)
+    from ..scene.instanced import DenseInstancedScene
+    if isinstance(scene, DenseInstancedScene):
+        if _tracing(rays.o):
+            raise ValueError(
+                "DenseInstancedScene queries auto-size their worklists "
+                "with a host sync and cannot run under tracing; call "
+                "them between jitted stages (staged drivers) or use a "
+                "StaticTLAS scene inside jit")
+        from ..ops.pallas_instanced import closest_hit_instanced
+        return closest_hit_instanced(scene, rays)
     return _trav.closest_hit(scene, rays, tile_size=tile_size)
 
 
 def scene_any_hit(scene, rays, *, tile_size: int = 16384) -> HitResult:
     if isinstance(scene, DenseScene):
         import jax.numpy as jnp
+        if not _tracing(rays.o):
+            # Dedicated occlusion kernel: first accepted hit wins, no
+            # best-t carry / merge / payload gather (reference any_hit
+            # early-exit, src/instanced-bvh.jl:2034-2140). Only hit +
+            # occluder ids are populated — the occlusion contract.
+            from ..ops.pallas_dense import any_hit_dense_pallas_auto
+            return any_hit_dense_pallas_auto(
+                scene, rays, tile=min(512, max(tile_size, 8)))
         rays0 = rays.replace(t_min=jnp.zeros_like(rays.t_min))
         return _dense_query(scene, rays0, tile_size)
+    from ..scene.instanced import DenseInstancedScene
+    if isinstance(scene, DenseInstancedScene):
+        from ..ops.pallas_instanced import any_hit_instanced
+        return any_hit_instanced(scene, rays)
     return _trav.any_hit(scene, rays, tile_size=tile_size)
 
 

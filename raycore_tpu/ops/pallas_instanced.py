@@ -1,0 +1,304 @@
+"""Regroup-style MXU sweep over instanced scenes — the dynamic fast path.
+
+The wavefront TLAS traversal handles arbitrary instancing but is
+gather-latency bound (~0.25 Mrays/s); the baked dense engine is fast but
+re-bakes world geometry on every transform change. This engine covers
+the reference's production hot path — closest_hit over a mutable
+instanced TLAS (/root/reference/src/instanced-bvh.jl:1902-2140) — with
+per-frame dynamics at dense-engine speeds:
+
+  1. Phase A: per-ray-tile interval culling against per-INSTANCE world
+     AABBs -> (tile, instance) pairs (same Pallas kernel as the dense
+     engine, phase_a_entry_bounds).
+  2. Refine to G-ray subgroups -> valid (subgroup, instance) pairs,
+     compacted to a capacity Q_cap.
+  3. Per pair: transform the subgroup's rays into instance-local space
+     (one 3x4 apply per ray) and build its 16-wide ray-feature table
+     row. Möller–Trumbore's t is invariant under the affine map, so
+     hit keys compare across instances directly.
+  4. Expand each pair over its BLAS's clusters (local-space interval
+     test, max_clusters_per_blas static slots) -> (pair, cluster-row)
+     candidates, grouped cluster-major into SPB-pair blocks.
+  5. run_regrouped sweeps the blocks against the concatenated LOCAL
+     per-BLAS feature tables (payload="pairrow": the winner encodes the
+     pair so the instance is recoverable).
+  6. Grouped segment-min combine per ray; exact scalar MT recompute in
+     the winning instance's local space.
+
+Exactness: every stage is conservative (interval tests never drop a
+reachable candidate; capacities are validated post-hoc and retried), so
+results match the TLAS traversal up to the dense engines' documented
+EDGE_EPS featurization slack.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..accel.dense import FEAT, gather_hit_triangles, ray_features
+from ..core.transforms import _apply_mat3
+from ..core.triangle import safe_invdir
+from .pallas_dense import _t_from_keys, build_worklist, phase_a_entry_bounds
+from .pallas_regroup import (COL_TMAX, COL_TMIN, INT32_MAX,
+                             combine_rows_grouped, group_flat_cluster_major,
+                             refine_pairs, run_regrouped, subgroup_stats)
+
+
+def _bundle_entry_vs_bounds(olo, ohi, ilo, ihi, tlo, thi, bmin, bmax):
+    """Conservative ray-bundle vs AABB interval test, elementwise over
+    matching leading shapes. Same math (and the same axis-parallel
+    clamped-invdir widening) as refine_pairs / _phase_a_kernel."""
+    shape = jnp.broadcast_shapes(olo[..., 0].shape, bmin[..., 0].shape)
+    t_lo = jnp.full(shape, -jnp.inf)
+    t_hi = jnp.full(shape, jnp.inf)
+    CL = jnp.float32(0.99e5)
+    for a in range(3):
+        lo8 = jnp.full(shape, jnp.inf)
+        hi8 = jnp.full(shape, -jnp.inf)
+        for b in (bmin[..., a], bmax[..., a]):
+            for oc in (olo[..., a], ohi[..., a]):
+                diff = b - oc
+                for ic in (ilo[..., a], ihi[..., a]):
+                    prod = diff * ic
+                    lo8 = jnp.minimum(lo8, prod)
+                    hi8 = jnp.maximum(hi8, prod)
+        par = (ihi[..., a] >= CL) | (ilo[..., a] <= -CL)
+        ovl = (ohi[..., a] >= bmin[..., a]) & (olo[..., a] <= bmax[..., a])
+        wide = par & ovl
+        t_lo = jnp.maximum(t_lo, jnp.where(wide, -jnp.inf, lo8))
+        t_hi = jnp.minimum(t_hi, jnp.where(wide, jnp.inf, hi8))
+    entry = jnp.maximum(t_lo, tlo)
+    exit_ = jnp.minimum(t_hi, thi)
+    return jnp.where(entry <= exit_, entry, jnp.inf)
+
+
+@partial(jax.jit, static_argnames=("TILE", "G", "SPB", "P_cap", "Q_cap",
+                                   "interpret"))
+def _stage1_inst(scene, o, d, t_min, t_max, *, TILE: int, G: int, SPB: int,
+                 P_cap: int, Q_cap: int, interpret: bool):
+    C = scene.cluster_size
+    S = scene.max_clusters_per_blas
+    K_total = scene.n_clusters
+    SPT = TILE // G
+    R = o.shape[0]
+    n_tiles = R // TILE
+    n_sub = R // G
+
+    # 1) tile x instance culling.
+    entry = phase_a_entry_bounds(scene.inst_aabb_min, scene.inst_aabb_max,
+                                 o, d, t_min, t_max, n_tiles, TILE,
+                                 interpret)
+    tids, iids, coarse = build_worklist(entry, P_cap)
+
+    # 2) subgroup refinement (world space).
+    stats = subgroup_stats(o, d, t_min, t_max, G)
+    fine = refine_pairs(stats, tids, iids, scene.inst_aabb_min,
+                        scene.inst_aabb_max, SPT, n_tiles)     # (P, SPT)
+    sub = (tids[:, None] * SPT
+           + jnp.arange(SPT, dtype=jnp.int32)[None, :]).reshape(-1)
+    inst = jnp.broadcast_to(iids[:, None], fine.shape).reshape(-1)
+    valid = jnp.isfinite(fine).reshape(-1)
+    order = jnp.argsort(~valid, stable=True)
+    q_total = jnp.sum(valid.astype(jnp.int32))
+    sel = order[:Q_cap]
+    qvalid = jnp.arange(Q_cap) < q_total
+    qsub = jnp.where(qvalid, jnp.take(sub, sel), n_sub)
+    qinst = jnp.where(qvalid, jnp.take(inst, sel), 0)
+
+    # 3) per-pair local-space rays + feature table.
+    inv = jnp.take(scene.inst_inv, qinst, axis=0)              # (Q, 3, 4)
+    grp = lambda a, f: jnp.concatenate(
+        [a.reshape((n_sub, G) + a.shape[1:]),
+         jnp.full((1, G) + a.shape[1:], f, a.dtype)])
+    o_g = jnp.take(grp(o, 0.0), jnp.minimum(qsub, n_sub), axis=0)
+    d_g = jnp.take(grp(d, 1.0), jnp.minimum(qsub, n_sub), axis=0)
+    tmin_g = jnp.take(grp(t_min, 0.0), jnp.minimum(qsub, n_sub), axis=0)
+    tmax_g = jnp.take(grp(t_max, -jnp.inf), jnp.minimum(qsub, n_sub),
+                      axis=0)
+    tmax_g = jnp.where(qvalid[:, None], tmax_g, -jnp.inf)
+    # _apply_mat3, not einsum: MXU DEFAULT precision bf16-rounds rays.
+    o_l = _apply_mat3(inv[:, None, :, :3], o_g) + inv[:, None, :, 3]
+    d_l = _apply_mat3(inv[:, None, :, :3], d_g)
+    d_l = jnp.where(d_l == 0.0, 0.0, d_l)
+    Q = Q_cap
+    phi = ray_features(o_l.reshape(-1, 3), d_l.reshape(-1, 3)) \
+        .reshape(Q, G, FEAT)
+    phi = phi.at[:, :, COL_TMIN].set(tmin_g)
+    phi = phi.at[:, :, COL_TMAX].set(tmax_g)
+    dummy = jnp.zeros((1, G, FEAT), jnp.float32) \
+        .at[:, :, COL_TMAX].set(-jnp.inf)
+    tbl = jnp.concatenate([phi, dummy])                        # (Q+1, G, F)
+
+    # 4) cluster expansion in local space.
+    cbase = jnp.take(scene.inst_cbase, qinst)
+    ncl = jnp.take(scene.inst_ncl, qinst)
+    slots = jnp.arange(S, dtype=jnp.int32)[None, :]
+    crow = cbase[:, None] + jnp.minimum(slots, ncl[:, None] - 1)
+    cvalid = (slots < ncl[:, None]) & qvalid[:, None]          # (Q, S)
+    invd_l = safe_invdir(d_l)
+    olo, ohi = jnp.min(o_l, 1), jnp.max(o_l, 1)                # (Q, 3)
+    ilo, ihi = jnp.min(invd_l, 1), jnp.max(invd_l, 1)
+    tlo = jnp.min(tmin_g, 1)
+    thi = jnp.max(tmax_g, 1)
+    bmin = jnp.take(scene.cluster_min, crow.reshape(-1), axis=0) \
+        .reshape(Q, S, 3)
+    bmax = jnp.take(scene.cluster_max, crow.reshape(-1), axis=0) \
+        .reshape(Q, S, 3)
+    e2 = _bundle_entry_vs_bounds(
+        olo[:, None, :], ohi[:, None, :], ilo[:, None, :], ihi[:, None, :],
+        tlo[:, None], thi[:, None], bmin, bmax)                # (Q, S)
+    tvalid = cvalid & jnp.isfinite(e2)
+
+    B_cap = Q_cap * S // SPB + K_total + 1
+    pair_ids = jnp.broadcast_to(
+        jnp.arange(Q, dtype=jnp.int32)[:, None], (Q, S)).reshape(-1)
+    block_cid, block_subs, total = group_flat_cluster_major(
+        pair_ids, crow.reshape(-1), tvalid.reshape(-1), SPB=SPB,
+        n_sub=Q, B_cap=B_cap, K=K_total)
+    totals = jnp.stack([coarse, q_total, total])
+    return block_cid, block_subs, tbl, qsub, qinst, totals
+
+
+@partial(jax.jit, static_argnames=("G", "SPB", "nb", "R0", "interpret"))
+def _stage2_inst(scene, block_cid, block_subs, tbl, qsub, qinst, o, d, *,
+                 G: int, SPB: int, nb: int, R0: int, interpret: bool):
+    C = scene.cluster_size
+    R_pad = (tbl.shape[0] - 1)  # unused; rays counted via qsub domain
+    n_sub_dummy = int(o.shape[0] // G)  # o here is the PADDED flat rays
+    key, pair = run_regrouped(block_subs, block_cid, tbl, scene.tri_feats,
+                              G=G, SPB=SPB, C=C, n_blocks=nb,
+                              interpret=interpret, payload="pairrow")
+    # Map block rows -> ray subgroups through the pair table.
+    qsub_ext = jnp.concatenate(
+        [qsub, jnp.full((1,), n_sub_dummy, jnp.int32)])
+    subs_m = jnp.take(qsub_ext, block_subs)                    # (B_cap, SPB)
+    out_key, out_pair = combine_rows_grouped(
+        key, pair, subs_m, nb, G, SPB, n_sub_dummy)
+
+    # Decode winner: pairrow payload = (block*SPB + slot)*C + lane.
+    cand = out_pair[:R0]
+    t = _t_from_keys(out_key[:R0], 0)
+    hit = cand >= 0
+    safe = jnp.clip(cand, 0, None)
+    pair_row = safe // C
+    lane = safe % C
+    blk = pair_row // SPB
+    prim = jnp.take(block_cid, blk) * C + lane
+    pairq = jnp.take(block_subs.reshape(-1), pair_row)
+    inst = jnp.take(qinst, jnp.clip(pairq, 0, qinst.shape[0] - 1))
+    prim = jnp.where(hit, prim, -1)
+    inst = jnp.where(hit, inst, -1)
+
+    # Exact scalar MT in the winning instance's local space (reference
+    # fast_intersect_triangle, src/instanced-bvh.jl:1756-1797; t/u/v are
+    # invariant under the instance transform).
+    inv = jnp.take(scene.inst_inv, jnp.clip(inst, 0, None), axis=0)
+    o_l = _apply_mat3(inv[:, :, :3], o[:R0]) + inv[:, :, 3]
+    d_l = _apply_mat3(inv[:, :, :3], d[:R0])
+    return _finalize_local(scene, prim, inst, t, o_l, d_l)
+
+
+def _finalize_local(scene, prim, inst, t_approx, o_l, d_l):
+    from ..accel.brute import HitResult
+    hit = (prim >= 0) & jnp.isfinite(t_approx)
+    tri = gather_hit_triangles(scene, jnp.clip(prim, 0, None), hit)
+    v0, v1, v2 = tri.vertices[:, 0], tri.vertices[:, 1], tri.vertices[:, 2]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    s1 = jnp.cross(d_l, e2)
+    det = jnp.sum(s1 * e1, axis=-1)
+    r = jnp.where(det != 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
+    dvec = o_l - v0
+    u = jnp.sum(dvec * s1, axis=-1) * r
+    s2 = jnp.cross(dvec, e1)
+    v = jnp.sum(d_l * s2, axis=-1) * r
+    t = jnp.where(det != 0.0, jnp.sum(e2 * s2, axis=-1) * r, t_approx)
+    u = jnp.clip(u, 0.0, 1.0)
+    v = jnp.clip(v, 0.0, 1.0 - u)
+    bary = jnp.where(hit[:, None], jnp.stack([1 - u - v, u, v], -1), 0.0)
+    return HitResult(hit=hit, triangle=tri, t=jnp.where(hit, t, 0.0),
+                     barycentric=bary,
+                     prim_idx=jnp.where(hit, prim, -1),
+                     instance_idx=jnp.where(hit, inst, -1))
+
+
+_CAP_CACHE: dict = {}
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (max(n, 1) - 1).bit_length())
+
+
+def closest_hit_instanced(scene, rays, *, tile: int = 2048,
+                          subgroup: int = 32, spb: int = 16,
+                          pairs_per_tile: int = 64):
+    """Exact closest hit over a DenseInstancedScene. One host sync reads
+    the true (coarse, pair, block) counts; capacities are pow2-bucketed
+    and retried on overflow, so results are never truncated."""
+    interpret = jax.default_backend() != "tpu"
+    batch = rays.batch_shape
+    flat = lambda a: a.reshape((-1,) + a.shape[len(batch):])
+    o, d = flat(rays.o), flat(rays.d)
+    t_min, t_max = flat(rays.t_min), flat(rays.t_max)
+    R0 = o.shape[0]
+    G = min(subgroup, max(8, 1 << (max(R0, 1) - 1).bit_length()))
+    TILE = min(tile, max(R0, G))
+    TILE = -(-TILE // G) * G
+    SPB = spb
+    d = jnp.where(d == 0.0, 0.0, d)
+    pad = (-R0) % TILE
+    if pad:
+        ext = lambda a, f: jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], f, a.dtype)])
+        o, d = ext(o, 0.0), ext(d, 1.0)
+        t_min, t_max = ext(t_min, 0.0), ext(t_max, -jnp.inf)
+    n_tiles = o.shape[0] // TILE
+    n_sub = o.shape[0] // G
+    I = scene.n_instances
+    hard_p = n_tiles * I
+    hard_q = n_sub * I
+    P_cap = min(pairs_per_tile * n_tiles, hard_p)
+    Q_cap = min(max(4096, 4 * n_sub), hard_q)
+    ck = (id(scene.tri_feats), o.shape[0], TILE, G, SPB)
+    cached = _CAP_CACHE.get(ck)
+    if cached is not None:
+        P_cap = min(max(4096, _next_pow2(int(cached["p"] * 1.2))), hard_p)
+        Q_cap = min(max(4096, _next_pow2(int(cached["q"] * 1.2))), hard_q)
+
+    while True:
+        block_cid, block_subs, tbl, qsub, qinst, totals = _stage1_inst(
+            scene, o, d, t_min, t_max, TILE=TILE, G=G, SPB=SPB,
+            P_cap=P_cap, Q_cap=Q_cap, interpret=interpret)
+        import numpy as _np
+        coarse, q_total, total = (int(x) for x in _np.asarray(totals))
+        ok_p = coarse <= P_cap
+        ok_q = q_total <= Q_cap
+        if ok_p and ok_q:
+            break
+        if P_cap >= hard_p and Q_cap >= hard_q:
+            raise RuntimeError(
+                f"instanced worklist overflow at hard capacity: "
+                f"coarse={coarse}/{P_cap} pairs={q_total}/{Q_cap}")
+        if not ok_p:
+            P_cap = min(2 * P_cap, hard_p)
+        if not ok_q:
+            Q_cap = min(2 * Q_cap, hard_q)
+    _CAP_CACHE[ck] = dict(p=max(coarse, (cached or {}).get("p", 0)),
+                          q=max(q_total, (cached or {}).get("q", 0)))
+    nb = 1 << max(9, (max(total, 1) - 1).bit_length())
+    nb = min(nb, block_cid.shape[0])
+    res = _stage2_inst(scene, block_cid, block_subs, tbl, qsub, qinst,
+                       o, d, G=G, SPB=SPB, nb=nb, R0=R0,
+                       interpret=interpret)
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape(batch + a.shape[1:]), res)
+
+
+def any_hit_instanced(scene, rays, **kw):
+    """Occlusion over a DenseInstancedScene: t_min forced to 0
+    (reference any_hit, src/instanced-bvh.jl:2045). Uses the closest-hit
+    machinery; only the boolean + occluder ids are contractual."""
+    rays0 = rays.replace(t_min=jnp.zeros_like(rays.t_min))
+    return closest_hit_instanced(scene, rays0, **kw)
