@@ -51,7 +51,11 @@ def main():
 
     def do_build():
         # float() readbacks force real completion (see probe note below).
-        if engine.startswith("dense") or engine == "regroup":
+        if engine == "packed":
+            subc = int(os.environ.get("RAYCORE_BENCH_SUBCHUNKS", 4))
+            sc = build_dense(mesh, cluster_size=cluster, sub_chunks=subc)
+            float(sc.tri_feats[0, 0, 0])
+        elif engine.startswith("dense") or engine == "regroup":
             sc = build_dense(mesh, cluster_size=cluster)
             float(sc.tri_feats[0, 0, 0])
         else:
@@ -108,7 +112,15 @@ def main():
         # route them to the auto-sized worklist — the same path
         # accel/dispatch.py gives users at this size.
         engine = "dense_pallas_auto"
-    if engine == "regroup":
+    if engine == "packed":
+        from raycore_tpu.ops.pallas_regroup import closest_hit_packed
+        G = int(os.environ.get("RAYCORE_BENCH_SUBGROUP", 32))
+        packs = int(os.environ.get("RAYCORE_BENCH_PACKS", 8))
+        spb_sub = int(os.environ.get("RAYCORE_BENCH_SPBSUB", 2))
+        run = lambda: closest_hit_packed(scene, rays, tile=tile,
+                                         subgroup=G, spb_sub=spb_sub,
+                                         packs=packs)
+    elif engine == "regroup":
         from raycore_tpu.ops.pallas_regroup import closest_hit_regrouped
         G = int(os.environ.get("RAYCORE_BENCH_SUBGROUP", 32))
         SPB = int(os.environ.get("RAYCORE_BENCH_SPB", 16))

@@ -177,7 +177,7 @@ def group_cluster_major(tids, cids, fine_entry, *, SPT: int, SPB: int,
 
 
 def _kernel(subs_ref, cids_ref, *refs, C: int, G: int, SPB: int,
-            edge_eps: float):
+            edge_eps: float, payload: str = "prim", chunk_base: int = 0):
     tbl_refs = refs[:SPB]
     feats_ref = refs[SPB]
     key_out, pair_out = refs[SPB + 1], refs[SPB + 2]
@@ -219,21 +219,32 @@ def _kernel(subs_ref, cids_ref, *refs, C: int, G: int, SPB: int,
         lane = jnp.min(jnp.where(kb == key_min, ids, jnp.int32(C)),
                        axis=1, keepdims=True)   # smallest prim on ties
         key_out[:] = key_min
-        pair_out[:] = jnp.where(key_min == INT32_MAX, -1,
-                                cid * C + lane)
+        if payload == "pairrow":
+            # Instanced engine payload: (global block-row index, lane) —
+            # the same prim can be hit through different instances, so
+            # the winner must identify the (pair, lane), not the prim.
+            # chunk_base re-globalizes program_id across chunked calls.
+            rows = jax.lax.broadcasted_iota(jnp.int32, key_min.shape, 0)
+            base = ((chunk_base + b) * SPB + rows // G) * C
+        else:
+            base = cid * C
+        pair_out[:] = jnp.where(key_min == INT32_MAX, -1, base + lane)
 
 
 REGROUP_CHUNK = 4096    # blocks per pallas_call (scalar ids live in SMEM)
 
 
-@partial(jax.jit, static_argnames=("G", "SPB", "C", "n_blocks", "interpret"))
+@partial(jax.jit, static_argnames=("G", "SPB", "C", "n_blocks", "interpret",
+                                   "payload"))
 def run_regrouped(block_subs, block_cid, tbl, feats, *, G: int, SPB: int,
-                  C: int, n_blocks: int, interpret: bool):
+                  C: int, n_blocks: int, interpret: bool,
+                  payload: str = "prim"):
     """Sweep ``n_blocks`` cluster-major blocks. Returns (key, pair) of
     shape (n_blocks*SPB*G,) in block-row order (use block_subs for the
-    row -> ray mapping)."""
+    row -> ray mapping). payload="pairrow" makes the winner id encode
+    (block-row, lane) instead of (cluster, lane) — the instanced engine
+    needs the pair to recover the instance."""
     ROWS = G * SPB
-    kernel = partial(_kernel, C=C, G=G, SPB=SPB, edge_eps=1e-5)
 
     # Scalar-prefetch arrays live in SMEM, where 2D minor dims pad to the
     # 128-lane width (8x waste) — pass the subgroup ids flattened 1D.
@@ -247,6 +258,8 @@ def run_regrouped(block_subs, block_cid, tbl, feats, *, G: int, SPB: int,
     for ch in range(n_chunks):
         lo = ch * REGROUP_CHUNK
         sz = min(REGROUP_CHUNK, n_blocks - lo)
+        kernel = partial(_kernel, C=C, G=G, SPB=SPB, edge_eps=1e-5,
+                         payload=payload, chunk_base=lo)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(sz,),
@@ -264,6 +277,161 @@ def run_regrouped(block_subs, block_cid, tbl, feats, *, G: int, SPB: int,
             interpret=interpret,
         )(block_subs[lo:lo + sz].reshape(-1), block_cid[lo:lo + sz],
           *([tbl] * SPB), feats)
+        keys.append(k[:, 0])
+        pairs.append(p[:, 0])
+    if not keys:
+        z = jnp.zeros((0,), jnp.int32)
+        return z, z
+    return jnp.concatenate(keys), jnp.concatenate(pairs)
+
+
+# --- packed sub-cluster sweep ------------------------------------------------
+# On-device probe (tools/probe_matmul_shapes.py, v5e): Pallas matmul cost
+# scales with M x N x passes and is INDEPENDENT of K up to the MXU's 128
+# depth — (512,128)@(128,512) HIGHEST costs the same 2.3 us as
+# (512,16)@(16,512), and N=128 costs 0.72 us. Two consequences this
+# engine exploits, keeping full fp32 HIGHEST exactness:
+#   1. Sub-cluster candidates: refine to C_eff = C/SUBC-triangle
+#      sub-chunks (the sub-chunk-major tri_feats layout already stores
+#      them as contiguous (FEAT, 4*C_eff) column slices) — 2.4x fewer
+#      candidates/ray at C_eff=32 vs C=128 on the heightfield — and the
+#      matmul's N shrinks to 4*C_eff with every output column useful.
+#   2. Block-diagonal K-packing: PACKS sub-blocks (each SPB_sub
+#      subgroups sharing one sub-cluster) share ONE matmul. phi_big is
+#      (ROWS, PACKS*16) with sub-block s's rows occupying feature
+#      columns 16s:16s+16 (zeros elsewhere); feats_big stacks the PACKS
+#      feature slices along K. Row r's outputs are then exactly its own
+#      sub-cluster's quantities — the zero blocks select them — so the
+#      (ROWS, 4*C_eff) output is 100% useful at K = PACKS*16 <= 128.
+
+
+def subchunk_bounds(scene):
+    """(K*SUBC, 3) sub-chunk AABBs unpacked from scene.sub_bounds."""
+    K = scene.n_clusters
+    SUBC = scene.sub_chunks
+    sb = scene.sub_bounds[:, 0, : SUBC * 6].reshape(K, SUBC, 6)
+    return (sb[:, :, 0:3].reshape(K * SUBC, 3),
+            sb[:, :, 3:6].reshape(K * SUBC, 3))
+
+
+def _kernel_packed(subs_ref, cids_ref, *refs, C_eff: int, G: int,
+                   SPB_sub: int, PACKS: int, edge_eps: float,
+                   payload: str, chunk_base: int):
+    n_tbl = PACKS * SPB_sub
+    tbl_refs = refs[:n_tbl]
+    feats_refs = refs[n_tbl:n_tbl + PACKS]
+    key_out, pair_out = refs[n_tbl + PACKS], refs[n_tbl + PACKS + 1]
+    b = pl.program_id(0)
+    RSUB = SPB_sub * G
+    ROWS = PACKS * RSUB
+    cids = [cids_ref[b * PACKS + s] for s in range(PACKS)]
+    vmax = cids[0]
+    for s in range(1, PACKS):
+        vmax = jnp.maximum(vmax, cids[s])
+
+    @pl.when(vmax >= 0)
+    def _():
+        tbl = jnp.concatenate([r[0] for r in tbl_refs], axis=0)  # (ROWS,16)
+        feats = jnp.concatenate([f[0] for f in feats_refs],
+                                axis=0)                   # (PACKS*16, 4Ce)
+        KX = PACKS * FEAT
+        rows = jax.lax.broadcasted_iota(jnp.int32, (ROWS, KX), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (ROWS, KX), 1)
+        # Block-diagonal mask; also zeroes the t_min/t_max carrier
+        # columns (their feature rows are zero, but inf * 0 = NaN).
+        mask = (rows // RSUB == cols // FEAT) & (cols % FEAT < COL_TMIN)
+        phi_rep = jnp.concatenate([tbl] * PACKS, axis=1)  # (ROWS, KX)
+        phi_big = jnp.where(mask, phi_rep, 0.0)
+        q = jax.lax.dot_general(
+            phi_big, feats, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_MATMUL_PRECISION)                  # (ROWS, 4Ce)
+        tmin = tbl[:, COL_TMIN:COL_TMIN + 1]
+        tmax = tbl[:, COL_TMAX:COL_TMAX + 1]
+        Ce = C_eff
+        det = q[:, 0 * Ce:1 * Ce]
+        udet = q[:, 1 * Ce:2 * Ce]
+        vdet = q[:, 2 * Ce:3 * Ce]
+        tdet = q[:, 3 * Ce:4 * Ce]
+        r = 1.0 / det
+        u = udet * r
+        v = vdet * r
+        t = tdet * r
+        e = edge_eps
+        ok = (u >= -e) & (u <= 1.0 + e) & (v >= -e) & (u + v <= 1.0 + e) \
+            & (t >= tmin) & (t <= tmax)
+        # Per-row sub-cluster id (padding sub-blocks carry cid -1).
+        rid = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0) // RSUB
+        cid_col = jnp.zeros((ROWS, 1), jnp.int32)
+        for s in range(PACKS):
+            cid_col = jnp.where(rid == s, cids[s], cid_col)
+        ok = ok & (cid_col >= 0)
+        kb = jax.lax.bitcast_convert_type(jnp.maximum(t, 0.0), jnp.int32)
+        kb = jnp.where(ok, kb, INT32_MAX)
+        key_min = jnp.min(kb, axis=1, keepdims=True)
+        ids = jax.lax.broadcasted_iota(jnp.int32, kb.shape, 1)
+        lane = jnp.min(jnp.where(kb == key_min, ids, jnp.int32(Ce)),
+                       axis=1, keepdims=True)
+        key_out[:] = key_min
+        if payload == "pairrow":
+            rg = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0) // G
+            base = ((chunk_base + b) * n_tbl + rg) * Ce
+        else:
+            base = cid_col * Ce
+        pair_out[:] = jnp.where(key_min == INT32_MAX, -1, base + lane)
+
+
+@partial(jax.jit, static_argnames=("G", "SPB_sub", "PACKS", "C_eff",
+                                   "SUBC", "n_blocks", "interpret",
+                                   "payload"))
+def run_packed(block_subs, block_cid, tbl, feats, *, G: int, SPB_sub: int,
+               PACKS: int, C_eff: int, SUBC: int, n_blocks: int,
+               interpret: bool, payload: str = "prim"):
+    """Sweep n_blocks sub-cluster blocks, PACKS per grid step. block_cid
+    indexes sub-clusters (cluster*SUBC + chunk); feats is the scene's
+    (K, FEAT, 4*C) sub-chunk-major table, sliced per sub-chunk by the
+    BlockSpec. n_blocks must be a multiple of PACKS."""
+    assert n_blocks % PACKS == 0
+    RSUB = SPB_sub * G
+    ROWS = PACKS * RSUB
+    n_tbl = PACKS * SPB_sub
+
+    def tbl_spec(i):
+        return pl.BlockSpec(
+            (1, G, FEAT),
+            lambda b, subs, cids, i=i: (subs[b * n_tbl + i], 0, 0))
+
+    def feats_spec(s):
+        def ix(b, subs, cids, s=s):
+            q = jnp.maximum(cids[b * PACKS + s], 0)
+            return (q // SUBC, 0, q % SUBC)
+        return pl.BlockSpec((1, FEAT, 4 * C_eff), ix)
+
+    keys, pairs = [], []
+    steps_total = n_blocks // PACKS
+    chunk_steps = REGROUP_CHUNK // PACKS
+    n_chunks = -(-steps_total // chunk_steps)
+    for ch in range(n_chunks):
+        lo = ch * chunk_steps
+        sz = min(chunk_steps, steps_total - lo)
+        kernel = partial(_kernel_packed, C_eff=C_eff, G=G,
+                         SPB_sub=SPB_sub, PACKS=PACKS, edge_eps=1e-5,
+                         payload=payload, chunk_base=lo)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(sz,),
+            in_specs=[tbl_spec(i) for i in range(n_tbl)] + [
+                feats_spec(s) for s in range(PACKS)],
+            out_specs=[pl.BlockSpec((ROWS, 1),
+                                    lambda b, subs, cids: (b, 0))] * 2,
+        )
+        k, p = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((sz * ROWS, 1), jnp.int32)] * 2,
+            interpret=interpret,
+        )(block_subs[lo * PACKS:(lo + sz) * PACKS].reshape(-1),
+          block_cid[lo * PACKS:(lo + sz) * PACKS],
+          *([tbl] * n_tbl), *([feats] * PACKS))
         keys.append(k[:, 0])
         pairs.append(p[:, 0])
     if not keys:
@@ -392,6 +560,171 @@ def _stage1_pruned(scene, o, d, t_min, t_max, *, TILE: int, G: int,
     block_cid, block_subs, total = group_cluster_major(
         tids, cids, fine2, SPT=SPT, SPB=SPB, n_sub=n_sub, B_cap=B_cap, K=K)
     return (block_cid, block_subs, tbl, total, coarse_total, k1, p1)
+
+
+@partial(jax.jit, static_argnames=("TILE", "G", "SPB_sub", "P_cap",
+                                   "Q_cap", "interpret"))
+def _stage1_packed(scene, o, d, t_min, t_max, *, TILE: int, G: int,
+                   SPB_sub: int, P_cap: int, Q_cap: int, interpret: bool):
+    """Stage1 for the packed sub-cluster sweep: phase A + refine at
+    CLUSTER granularity (small K), compact the valid (subgroup, cluster)
+    pairs, then refine the survivors against the SUBC sub-chunk AABBs —
+    the expansion happens after compaction, so the grouping sort runs on
+    ~valid*SUBC elements instead of P_cap*SPT*SUBC."""
+    K = scene.n_clusters
+    SUBC = scene.sub_chunks
+    SPT = TILE // G
+    R = o.shape[0]
+    n_tiles = R // TILE
+    n_sub = R // G
+
+    entry = phase_a_entry(scene, o, d, t_min, t_max, n_tiles, TILE,
+                          interpret)
+    tids, cids, coarse_total = build_worklist(entry, P_cap)
+    stats = subgroup_stats(o, d, t_min, t_max, G)
+    fine = refine_pairs(stats, tids, cids, scene.cluster_min,
+                        scene.cluster_max, SPT, n_tiles)       # (P, SPT)
+
+    # Compact valid (subgroup, cluster) pairs to Q_cap.
+    sub = (tids[:, None] * SPT
+           + jnp.arange(SPT, dtype=jnp.int32)[None, :]).reshape(-1)
+    cid = jnp.broadcast_to(cids[:, None], fine.shape).reshape(-1)
+    valid = jnp.isfinite(fine).reshape(-1)
+    order = jnp.argsort(~valid, stable=True)
+    q_total = jnp.sum(valid.astype(jnp.int32))
+    sel = order[:Q_cap]
+    qvalid = jnp.arange(Q_cap) < q_total
+    qsub = jnp.where(qvalid, jnp.take(sub, sel), n_sub)
+    qcid = jnp.where(qvalid, jnp.take(cid, sel), 0)
+
+    # Sub-chunk refinement of the survivors (gathered per pair).
+    sbmin, sbmax = subchunk_bounds(scene)                  # (K*SUBC, 3)
+    st = jnp.take(jnp.concatenate(
+        [stats, jnp.zeros((1, 14), jnp.float32)]),
+        jnp.minimum(qsub, n_sub), axis=0)                  # (Q, 14)
+    crow = qcid[:, None] * SUBC \
+        + jnp.arange(SUBC, dtype=jnp.int32)[None, :]
+    bmin = jnp.take(sbmin, crow.reshape(-1), axis=0).reshape(-1, SUBC, 3)
+    bmax = jnp.take(sbmax, crow.reshape(-1), axis=0).reshape(-1, SUBC, 3)
+    from .pallas_instanced import _bundle_entry_vs_bounds
+    e2 = _bundle_entry_vs_bounds(
+        st[:, None, 0:3], st[:, None, 3:6], st[:, None, 6:9],
+        st[:, None, 9:12], st[:, None, 12], st[:, None, 13],
+        bmin, bmax)                                        # (Q, SUBC)
+    tvalid = qvalid[:, None] & jnp.isfinite(e2)
+
+    B_cap = Q_cap * SUBC // SPB_sub + K * SUBC + 1
+    sub_b = jnp.broadcast_to(qsub[:, None], tvalid.shape).reshape(-1)
+    block_cid, block_subs, total = group_flat_cluster_major(
+        sub_b, crow.reshape(-1), tvalid.reshape(-1), SPB=SPB_sub,
+        n_sub=n_sub, B_cap=B_cap, K=K * SUBC)
+    tbl = ray_table(o, d, t_min, t_max, G)
+    totals = jnp.stack([coarse_total, q_total, total])
+    return block_cid, block_subs, tbl, totals
+
+
+@partial(jax.jit, static_argnames=("G", "SPB_sub", "PACKS", "nb", "R0",
+                                   "interpret"))
+def _stage2_packed(scene, block_cid, block_subs, tbl, o, d, *, G: int,
+                   SPB_sub: int, PACKS: int, nb: int, R0: int,
+                   interpret: bool):
+    from ..accel.dense import finalize_hits_exact
+    C_eff = scene.cluster_size // scene.sub_chunks
+    n_sub = (tbl.shape[0] - 1)
+    key, pair = run_packed(block_subs, block_cid, tbl, scene.tri_feats,
+                           G=G, SPB_sub=SPB_sub, PACKS=PACKS, C_eff=C_eff,
+                           SUBC=scene.sub_chunks, n_blocks=nb,
+                           interpret=interpret)
+    out_key, out_pair = combine_rows_grouped(
+        key, pair, block_subs, nb, G, SPB_sub, n_sub)
+    t = _t_from_keys(out_key[:R0], 0)
+    return finalize_hits_exact(scene, out_pair[:R0], t, o, d)
+
+
+_PACKED_CACHE: dict = {}
+
+
+def closest_hit_packed(scene, rays, *, tile: int = 2048, subgroup: int = 32,
+                       spb_sub: int = 2, packs: int = 8,
+                       pairs_per_tile: int = 48):
+    """Exact closest hit via the packed sub-cluster sweep (see the
+    packed-engine comment block above). Requires a scene built with
+    sub_chunks > 1 (sub-chunk-major tri_feats + sub_bounds); candidates
+    are per-(G-ray subgroup, C/SUBC-triangle sub-cluster). Capacities
+    auto-size from one packed totals readback with doubling retries —
+    results are never truncated."""
+    SUBC = scene.sub_chunks
+    if SUBC < 2:
+        raise ValueError("packed engine requires sub_chunks >= 2 scenes "
+                         "(build_dense(..., sub_chunks=4))")
+    if packs * FEAT > 128:
+        raise ValueError("packs*16 must be <= 128 (MXU depth)")
+    interpret = jax.default_backend() != "tpu"
+    batch = rays.batch_shape
+    flat = lambda a: a.reshape((-1,) + a.shape[len(batch):])
+    o, d = flat(rays.o), flat(rays.d)
+    t_min, t_max = flat(rays.t_min), flat(rays.t_max)
+    R0 = o.shape[0]
+    G = min(subgroup, max(8, 1 << (max(R0, 1) - 1).bit_length()))
+    TILE = min(tile, max(R0, G))
+    TILE = -(-TILE // G) * G
+    d = jnp.where(d == 0.0, 0.0, d)
+    pad = (-R0) % TILE
+    if pad:
+        ext = lambda a, f: jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], f, a.dtype)])
+        o, d = ext(o, 0.0), ext(d, 1.0)
+        t_min, t_max = ext(t_min, 0.0), ext(t_max, -jnp.inf)
+    n_tiles = o.shape[0] // TILE
+    n_sub = o.shape[0] // G
+    K = scene.n_clusters
+    hard_p = n_tiles * K
+    hard_q = n_sub * K
+    P_cap = min(pairs_per_tile * n_tiles, hard_p)
+    Q_cap = min(max(4096, 8 * n_sub), hard_q)
+    ck = (id(scene.tri_feats), scene.tri_feats.shape, o.shape[0], TILE, G,
+          spb_sub, packs)
+    cached = _PACKED_CACHE.get(ck)
+    if cached is not None and cached.get("ref", lambda: None)() \
+            is scene.tri_feats:
+        P_cap = min(max(4096, -(-int(cached["p"] * 1.2) // 4096) * 4096),
+                    hard_p)
+        Q_cap = min(max(4096, -(-int(cached["q"] * 1.2) // 4096) * 4096),
+                    hard_q)
+    else:
+        cached = None
+
+    while True:
+        block_cid, block_subs, tbl, totals = _stage1_packed(
+            scene, o, d, t_min, t_max, TILE=TILE, G=G, SPB_sub=spb_sub,
+            P_cap=P_cap, Q_cap=Q_cap, interpret=interpret)
+        import numpy as _np
+        coarse, q_total, total = (int(x) for x in _np.asarray(totals))
+        ok_p = coarse <= P_cap
+        ok_q = q_total <= Q_cap
+        if ok_p and ok_q:
+            break
+        if P_cap >= hard_p and Q_cap >= hard_q:
+            raise RuntimeError(
+                f"packed worklist overflow at hard capacity: "
+                f"coarse={coarse}/{P_cap} pairs={q_total}/{Q_cap}")
+        if not ok_p:
+            P_cap = min(2 * P_cap, hard_p)
+        if not ok_q:
+            Q_cap = min(2 * Q_cap, hard_q)
+    prev = cached or dict(p=0, q=0)
+    _PACKED_CACHE[ck] = dict(p=max(prev["p"], coarse),
+                             q=max(prev["q"], q_total),
+                             ref=_weakref.ref(scene.tri_feats))
+    nb = 1 << max(9, (max(total, 1) - 1).bit_length())
+    nb = min(-(-nb // packs) * packs, block_cid.shape[0] // packs * packs)
+    nb = max(nb, -(-total // packs) * packs)
+    assert nb * 1 >= total and nb % packs == 0
+    res = _stage2_packed(scene, block_cid, block_subs, tbl, o[:R0],
+                         d[:R0], G=G, SPB_sub=spb_sub, PACKS=packs,
+                         nb=nb, R0=R0, interpret=interpret)
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape(batch + a.shape[1:]), res)
 
 
 def _stage1_core(scene, o, d, t_min, t_max, TILE, G, SPB, P_cap, interpret):

@@ -113,3 +113,49 @@ def test_regroup_ragged_batch_and_2d():
 
 
 import jax  # noqa: E402  (used by the ragged test)
+
+
+# --- packed sub-cluster sweep -----------------------------------------------
+
+def _scene_and_rays_sub(n=40, C=128, SUBC=4, R=1024, seed=0, coherent=False):
+    mesh = rc.displaced_grid_mesh(n=n, extent=2.0, amplitude=0.35)
+    scene = build_dense(mesh, cluster_size=C, sub_chunks=SUBC)
+    _, rays = _scene_and_rays(n=8, R=R, seed=seed, coherent=coherent)
+    return scene, rays
+
+
+def test_packed_matches_brute_coherent():
+    from raycore_tpu.ops.pallas_regroup import closest_hit_packed
+    scene, rays = _scene_and_rays_sub(R=4096, coherent=True)
+    ref = closest_hit_brute(scene.prims, rays)
+    got = closest_hit_packed(scene, rays, tile=512)
+    _check(ref, got)
+
+
+def test_packed_matches_brute_incoherent():
+    from raycore_tpu.ops.pallas_regroup import closest_hit_packed
+    scene, rays = _scene_and_rays_sub(R=1024, seed=3)
+    ref = closest_hit_brute(scene.prims, rays)
+    got = closest_hit_packed(scene, rays, tile=512, packs=4, spb_sub=4)
+    _check(ref, got)
+
+
+def test_packed_ragged_and_t_ranges():
+    from raycore_tpu.ops.pallas_regroup import closest_hit_packed
+    scene, rays = _scene_and_rays_sub(R=777, seed=5)
+    ref = closest_hit_brute(scene.prims, rays)
+    _check(ref, closest_hit_packed(scene, rays, tile=512))
+    # t ranges respected
+    import jax.numpy as jnp
+    t_lo = np.asarray(ref.t) * 0.5 + 0.1
+    rays2 = rays.replace(t_min=jnp.asarray(t_lo),
+                         t_max=jnp.full((777,), 2.2, jnp.float32))
+    ref2 = closest_hit_brute(scene.prims, rays2)
+    _check(ref2, closest_hit_packed(scene, rays2, tile=512))
+
+
+def test_packed_requires_subchunks():
+    from raycore_tpu.ops.pallas_regroup import closest_hit_packed
+    scene, rays = _scene_and_rays(R=64)
+    with pytest.raises(ValueError):
+        closest_hit_packed(scene, rays)
