@@ -23,6 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.ray import Ray
+from .pallas_dense import _VMEM_PARAMS
 from ..core.triangle import Triangle
 from .. import accel
 
@@ -137,6 +138,7 @@ def _run(tri_table, o, d, t_min, t_max, *, interpret=False):
         ],
         out_specs=[out_spec] * 4,
         out_shape=shapes,
+        compiler_params=_VMEM_PARAMS,
         interpret=interpret,
     )(tri_table, o, d, t_min, t_max)
 

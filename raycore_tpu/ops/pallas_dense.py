@@ -32,6 +32,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.triangle import safe_invdir
 
 FEAT = 16
+# Mosaic's default scoped-VMEM budget is 16 MB; the TILE=512 / C=128
+# worklist kernel's unrolled sub-chunk epilogue needs ~21 MB of scratch
+# (observed OOM at the 100K-tri/262K-ray config). v5e has 128 MB VMEM and
+# our block specs are tiny, so raise the scratch budget for all kernels.
+_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 # fp32 accuracy on the MXU costs 6 bf16 passes (HIGHEST; Pallas has no
 # 3-pass HIGH tier). RAYCORE_MM_PRECISION=default switches to 1-pass bf16
 # for timing experiments only — it breaks hit accuracy.
@@ -229,6 +234,7 @@ def _run_worklist(tids, cids, phi, feats, sub_bounds, tmin, key0, *,
         key, pair = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shapes,
             input_output_aliases={6: 0, 7: 1},
+            compiler_params=_VMEM_PARAMS,
             interpret=interpret,
         )(tids[lo:lo + sz], cids[lo:lo + sz], phi, feats, sub_bounds,
           tmin, key, pair)
@@ -319,6 +325,7 @@ def _run_occlusion(tids, cids, phi, feats, tmin, tmax, *, TILE: int,
             kernel, grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((R, 1), jnp.int32)],
             input_output_aliases={6: 0},
+            compiler_params=_VMEM_PARAMS,
             interpret=interpret,
         )(tids[lo:lo + sz], cids[lo:lo + sz], phi, feats, tmin, tmax, pair)
     return pair[:, 0]

@@ -46,7 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.triangle import safe_invdir
-from .pallas_dense import (FEAT, _MATMUL_PRECISION, _t_from_keys,
+from .pallas_dense import (FEAT, _MATMUL_PRECISION, _VMEM_PARAMS, _t_from_keys,
                            build_worklist, phase_a_entry)
 
 INT32_MAX = 0x7FFFFFFF  # plain int: jnp constants can't be captured by kernels
@@ -274,6 +274,7 @@ def run_regrouped(block_subs, block_cid, tbl, feats, *, G: int, SPB: int,
         k, p = pl.pallas_call(
             kernel, grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((sz * ROWS, 1), jnp.int32)] * 2,
+            compiler_params=_VMEM_PARAMS,
             interpret=interpret,
         )(block_subs[lo:lo + sz].reshape(-1), block_cid[lo:lo + sz],
           *([tbl] * SPB), feats)
@@ -428,6 +429,7 @@ def run_packed(block_subs, block_cid, tbl, feats, *, G: int, SPB_sub: int,
         k, p = pl.pallas_call(
             kernel, grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((sz * ROWS, 1), jnp.int32)] * 2,
+            compiler_params=_VMEM_PARAMS,
             interpret=interpret,
         )(block_subs[lo * PACKS:(lo + sz) * PACKS].reshape(-1),
           block_cid[lo * PACKS:(lo + sz) * PACKS],
