@@ -224,7 +224,33 @@ def _finalize_local(scene, prim, inst, t_approx, o_l, d_l):
                      instance_idx=jnp.where(hit, inst, -1))
 
 
+# Capacity memory, weakref-validated like pallas_regroup's (ids recycle
+# after GC; a recycled id must not inherit a dead scene's prediction) and
+# size-bounded FIFO.
+import weakref as _weakref
+
 _CAP_CACHE: dict = {}
+_CAP_CACHE_MAX = 64
+
+
+def _cap_get(scene, ck):
+    ent = _CAP_CACHE.get(ck)
+    if ent is None:
+        return None
+    if ent.get("ref") is not None and ent["ref"]() is not scene.tri_feats:
+        del _CAP_CACHE[ck]
+        return None
+    return ent
+
+
+def _cap_put(scene, ck, p, q):
+    try:
+        ref = _weakref.ref(scene.tri_feats)
+    except TypeError:
+        ref = None
+    while len(_CAP_CACHE) >= _CAP_CACHE_MAX:
+        _CAP_CACHE.pop(next(iter(_CAP_CACHE)))
+    _CAP_CACHE[ck] = dict(p=p, q=q, ref=ref)
 
 
 def _next_pow2(n: int) -> int:
@@ -262,7 +288,7 @@ def closest_hit_instanced(scene, rays, *, tile: int = 2048,
     P_cap = min(pairs_per_tile * n_tiles, hard_p)
     Q_cap = min(max(4096, 4 * n_sub), hard_q)
     ck = (id(scene.tri_feats), o.shape[0], TILE, G, SPB)
-    cached = _CAP_CACHE.get(ck)
+    cached = _cap_get(scene, ck)
     if cached is not None:
         P_cap = min(max(4096, _next_pow2(int(cached["p"] * 1.2))), hard_p)
         Q_cap = min(max(4096, _next_pow2(int(cached["q"] * 1.2))), hard_q)
@@ -285,8 +311,8 @@ def closest_hit_instanced(scene, rays, *, tile: int = 2048,
             P_cap = min(2 * P_cap, hard_p)
         if not ok_q:
             Q_cap = min(2 * Q_cap, hard_q)
-    _CAP_CACHE[ck] = dict(p=max(coarse, (cached or {}).get("p", 0)),
-                          q=max(q_total, (cached or {}).get("q", 0)))
+    _cap_put(scene, ck, max(coarse, (cached or {}).get("p", 0)),
+             max(q_total, (cached or {}).get("q", 0)))
     nb = 1 << max(9, (max(total, 1) - 1).bit_length())
     nb = min(nb, block_cid.shape[0])
     res = _stage2_inst(scene, block_cid, block_subs, tbl, qsub, qinst,
