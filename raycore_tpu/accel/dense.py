@@ -63,12 +63,18 @@ class DenseScene:
     cluster_max: jnp.ndarray   # (K, 3)
     sub_bounds: jnp.ndarray    # (K, 1, 128) f32; cols [s*6:(s+1)*6] hold
                                # sub-chunk s's [min xyz, max xyz]
-    prims: Triangle            # (K*C, ...) sorted order (cluster-major)
-    prims_hot: jnp.ndarray     # (K*C, 10) f32: v(9) meta — the per-hit
-                               # gather row; cold fields (normals/tangents/
-                               # uv) come straight from ``prims``, gated by
-                               # payload_mask (TPU gathers are row-latency
-                               # bound, so narrower rows = faster finalize)
+    prims: Triangle            # ORIGINAL caller order (usually unpadded):
+                               # cold payload fields (normals/tangents/uv)
+                               # are never permuted at build — the sorted
+                               # hot rows carry the original index instead
+                               # (a full-SoA permute is a ~100 ms
+                               # row-latency-bound gather at 1M tris)
+    prims_hot: jnp.ndarray     # (K*C, 11) f32, SORTED cluster-major:
+                               # [v(9), metadata-bits, original-index-bits]
+                               # — everything the exact-MT recompute and
+                               # the payload/identity lookups need in one
+                               # narrow gather; cold fields come from
+                               # ``prims[orig]``, gated by payload_mask
     root_aabb: jnp.ndarray     # (2, 3)
     n_prims: int = struct.field(pytree_node=False)
     cluster_size: int = struct.field(pytree_node=False)
@@ -77,48 +83,66 @@ class DenseScene:
     # payload_mask bits: 1 = normals nonzero, 2 = tangents nonzero,
     # 4 = uv nonzero. Zero fields skip their gather and broadcast zeros.
     instance_of_prim: jnp.ndarray | None = None
-    # (K*C,) int32 instance slot per sorted triangle (-1 on padding), set
-    # by baked instanced scenes (scene/bake.py); None for single-geometry
-    # builds, where hits report instance 0. Mirrors the reference's
-    # instance_idx traversal output (src/instanced-bvh.jl:2010-2023).
+    # int32 instance slot per ORIGINAL-order triangle, set by baked
+    # instanced scenes (scene/bake.py); None for single-geometry builds,
+    # where hits report instance 0. Indexed by the hot row's original
+    # index. Mirrors the reference's instance_idx traversal output
+    # (src/instanced-bvh.jl:2010-2023).
 
     @property
     def n_clusters(self) -> int:
         return self.tri_feats.shape[0]
 
 
-def pack_prims_hot(tris: Triangle) -> jnp.ndarray:
-    """(T, 10) hot rows [vertices(9), metadata-bits(1)] — everything the
-    exact-MT recompute needs in one narrow gather."""
+def pack_prims_hot(tris: Triangle, orig_idx=None) -> jnp.ndarray:
+    """(T, 11) hot rows [vertices(9), metadata-bits, original-index-bits]
+    — everything the exact-MT recompute and identity lookups need in one
+    narrow gather. ``orig_idx`` defaults to row order (identity), for
+    callers whose ``prims`` are already in table order."""
     T = tris.vertices.shape[0]
     from .types import i32_as_f32
+    if orig_idx is None:
+        orig_idx = jnp.arange(T, dtype=jnp.int32)
     return jnp.concatenate([
         tris.vertices.reshape(T, 9),
-        i32_as_f32(tris.metadata.astype(jnp.int32))[:, None]], axis=1)
+        i32_as_f32(tris.metadata.astype(jnp.int32))[:, None],
+        i32_as_f32(orig_idx.astype(jnp.int32))[:, None]], axis=1)
 
 
-def gather_hit_triangles(scene: "DenseScene", idx, hit) -> Triangle:
-    """Winning-triangle payload: one narrow hot gather plus per-field cold
-    gathers gated by the scene's payload_mask (all-zero fields skip their
-    gather entirely — TPU gather cost scales with gathered columns)."""
+def gather_hit_payload(scene: "DenseScene", idx, hit):
+    """(Triangle, original_index) for winning rows: one narrow hot gather
+    plus per-field cold gathers gated by the scene's payload_mask
+    (all-zero fields skip their gather entirely — TPU gather cost scales
+    with gathered columns). ``idx`` is in sorted (table) space; cold
+    fields live in original order and are fetched via the hot row's
+    original-index column. Misses return original index -1."""
     from .types import f32_as_i32
     R = idx.shape[0]
-    rows = jnp.take(scene.prims_hot, idx, axis=0)          # (R, 10)
+    rows = jnp.take(scene.prims_hot, idx, axis=0)          # (R, 11)
     rows = jnp.where(hit[:, None], rows, 0.0)
     meta = jnp.where(hit, f32_as_i32(rows[:, 9]), 0).astype(jnp.uint32)
+    n_cold = scene.prims.vertices.shape[0]
+    orig = jnp.where(hit, f32_as_i32(rows[:, 10]), -1)
+    cidx = jnp.clip(orig, 0, n_cold - 1)
 
     def cold(field, ncols, bit):
         if scene.payload_mask & bit:
-            g = jnp.take(field.reshape(-1, ncols), idx, axis=0)
+            g = jnp.take(field.reshape(-1, ncols), cidx, axis=0)
             return jnp.where(hit[:, None], g, 0.0)
         return jnp.zeros((R, ncols), jnp.float32)
 
-    return Triangle(
+    tri = Triangle(
         vertices=rows[:, 0:9].reshape(R, 3, 3),
         normals=cold(scene.prims.normals, 9, 1).reshape(R, 3, 3),
         tangents=cold(scene.prims.tangents, 9, 2).reshape(R, 3, 3),
         uv=cold(scene.prims.uv, 6, 4).reshape(R, 3, 2),
         metadata=meta)
+    return tri, orig
+
+
+def gather_hit_triangles(scene: "DenseScene", idx, hit) -> Triangle:
+    """Winning-triangle payload only (see gather_hit_payload)."""
+    return gather_hit_payload(scene, idx, hit)[0]
 
 
 def _featurize_tris(v0, v1, v2):
@@ -159,15 +183,14 @@ def ray_features(o, d):
     return phi
 
 
-@partial(jax.jit, static_argnames=("cluster_size", "sub_chunks"))
-def _build_dense(sorted_tris: Triangle, cluster_size: int,
-                 sub_chunks: int = 1) -> DenseScene:
-    v = sorted_tris.vertices                       # (T, 3, 3), T = K*C
-    T = v.shape[0]
+def _dense_tables_from_hot(hot, cluster_size: int, sub_chunks: int):
+    """Feature blocks + bounds from SORTED hot rows (trace-time helper)."""
+    T = hot.shape[0]
     C = cluster_size
     SUB = sub_chunks
     CS = C // SUB
     K = T // C
+    v = hot[:, :9].reshape(T, 3, 3)
     psi = _featurize_tris(v[:, 0], v[:, 1], v[:, 2])          # (T, 16, 4)
     # Sub-chunk-major blocks: per sub s, columns
     # [det x CS | udet x CS | vdet x CS | tdet x CS] contiguous.
@@ -184,12 +207,61 @@ def _build_dense(sorted_tris: Triangle, cluster_size: int,
     cmin = jnp.min(smin, axis=1)
     cmax = jnp.max(smax, axis=1)
     root = jnp.stack([jnp.min(cmin, 0), jnp.max(cmax, 0)])
+    return blocks, cmin, cmax, sub_bounds, root
+
+
+@partial(jax.jit, static_argnames=("cluster_size", "sub_chunks"))
+def _build_dense(sorted_tris: Triangle, cluster_size: int,
+                 sub_chunks: int = 1) -> DenseScene:
+    """Build from an ALREADY-sorted padded SoA: prims stay in table order
+    and the original-index column is the row index (compat path; the
+    fast perm-only path is build_dense)."""
+    hot = pack_prims_hot(sorted_tris)
+    blocks, cmin, cmax, sub_bounds, root = _dense_tables_from_hot(
+        hot, cluster_size, sub_chunks)
     return DenseScene(tri_feats=blocks, cluster_min=cmin, cluster_max=cmax,
                       sub_bounds=sub_bounds,
-                      prims=sorted_tris,
-                      prims_hot=pack_prims_hot(sorted_tris),
-                      root_aabb=root, n_prims=T, cluster_size=C,
-                      sub_chunks=SUB)
+                      prims=sorted_tris, prims_hot=hot,
+                      root_aabb=root, n_prims=hot.shape[0],
+                      cluster_size=cluster_size, sub_chunks=sub_chunks)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _pack_hot_padded(v, meta, cap: int):
+    """(cap, 11) ORIGINAL-order hot rows, vertex sentinels on padding."""
+    from .types import PAD_COORD, i32_as_f32
+    n = v.shape[0]
+    v9 = jnp.concatenate([
+        jnp.asarray(v, jnp.float32).reshape(n, 9),
+        jnp.full((cap - n, 9), PAD_COORD, jnp.float32)])
+    mi = jnp.concatenate([jnp.asarray(meta).astype(jnp.int32),
+                          jnp.zeros((cap - n,), jnp.int32)])
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    return jnp.concatenate([v9, i32_as_f32(mi)[:, None],
+                            i32_as_f32(idx)[:, None]], axis=1)
+
+
+@partial(jax.jit, static_argnames=("cluster_size", "sub_chunks", "layout",
+                                   "axes", "s0", "s1"))
+def _build_dense_perm(hot0, *, cluster_size: int, sub_chunks: int,
+                      layout: str, axes=None, s0: int = 0, s1: int = 0):
+    """Sort-permutation build: compute the spatial perm on vertices only,
+    then move ONE (cap, 11) hot matrix. TPU gathers are row-latency
+    bound, so this replaces the full-SoA permute (5 fields, ~100 ms at
+    1M tris) with a single ~34 ms gather; cold payload fields are never
+    permuted at all (fetched at finalize via the original-index
+    column)."""
+    from .lbvh import morton_perm_padded, tile_perm_padded
+    cap = hot0.shape[0]
+    vp = hot0[:, :9].reshape(cap, 3, 3)
+    if layout == "tiles":
+        perm = tile_perm_padded(vp, axes=axes, s0=s0, s1=s1)
+    else:
+        perm = morton_perm_padded(vp)
+    hot = jnp.take(hot0, perm, axis=0)
+    blocks, cmin, cmax, sub_bounds, root = _dense_tables_from_hot(
+        hot, cluster_size, sub_chunks)
+    return hot, blocks, cmin, cmax, sub_bounds, root
 
 
 def build_dense(tris: Triangle, cluster_size: int = 256,
@@ -197,7 +269,9 @@ def build_dense(tris: Triangle, cluster_size: int = 256,
                 instance_of=None) -> DenseScene:
     """Cluster + featurize a triangle soup. Triangles are spatially sorted
     first (clusters must be spatially coherent); capacity pads to a
-    multiple of cluster_size with far-away sentinels.
+    multiple of cluster_size with far-away sentinels. Only the hot rows
+    (vertices + metadata + original index) are permuted; ``prims`` keeps
+    the caller's original order and hits report original indices.
 
     layout="tiles" (default): count-balanced strip/slab/chunk sort —
     clusters are compact axis-aligned tiles (~3-4x fewer phase-A
@@ -205,25 +279,31 @@ def build_dense(tris: Triangle, cluster_size: int = 256,
     layout="morton": raw Morton-chunk clustering (one sort; marginally
     cheaper build, fatter clusters).
 
-    instance_of: optional (T,) int32 instance slot per input triangle
-    (bake_dense supplies it); carried through the spatial sort so hits
-    report the owning instance."""
-    from .lbvh import morton_sort_triangles, tile_sort_triangles
+    instance_of: optional (n,) int32 instance slot per input triangle
+    (bake_dense supplies it); kept in original order and looked up by
+    hit original index so hits report the owning instance."""
+    from .lbvh import tile_sort_axes
     from .types import next_pow2
     n = tris.vertices.shape[0]
     cap = max(next_pow2(n), cluster_size)
+    hot0 = _pack_hot_padded(tris.vertices, tris.metadata, cap)
     if layout == "tiles":
-        sorted_tris, perm = tile_sort_triangles(tris, cap, cluster_size,
-                                                return_perm=True)
+        axes, s0, s1 = tile_sort_axes(tris.vertices, cap, cluster_size)
+        hot, blocks, cmin, cmax, sub_bounds, root = _build_dense_perm(
+            hot0, cluster_size=cluster_size, sub_chunks=sub_chunks,
+            layout="tiles", axes=axes, s0=s0, s1=s1)
     else:
-        sorted_tris, perm = morton_sort_triangles(tris, cap,
-                                                  return_perm=True)
-    scene = _build_dense(sorted_tris, cluster_size, sub_chunks)
+        hot, blocks, cmin, cmax, sub_bounds, root = _build_dense_perm(
+            hot0, cluster_size=cluster_size, sub_chunks=sub_chunks,
+            layout="morton")
+    scene = DenseScene(
+        tri_feats=blocks, cluster_min=cmin, cluster_max=cmax,
+        sub_bounds=sub_bounds, prims=tris, prims_hot=hot,
+        root_aabb=root, n_prims=cap, cluster_size=cluster_size,
+        sub_chunks=sub_chunks)
     if instance_of is not None:
-        inst_p = jnp.concatenate([
-            jnp.asarray(instance_of, jnp.int32),
-            jnp.full((cap - n,), -1, jnp.int32)])
-        scene = scene.replace(instance_of_prim=jnp.take(inst_p, perm))
+        scene = scene.replace(
+            instance_of_prim=jnp.asarray(instance_of, jnp.int32))
     import numpy as np
     f = np.asarray(_payload_flags(tris.normals, tris.tangents, tris.uv))
     return scene.replace(payload_mask=int(1 * f[0] + 2 * f[1] + 4 * f[2]))
@@ -430,13 +510,15 @@ def _closest_hit_dense_flat(scene: DenseScene, o, d, t_min, t_max, *,
             flat(out["best_u"]), flat(out["best_v"]))
 
 
-def _hit_instance_idx(scene: DenseScene, pair, hit):
+def _hit_instance_idx(scene: DenseScene, orig, hit):
     """Owning-instance index for winning prims: the baked side array when
     present (reference traversal returns instance_idx,
-    src/instanced-bvh.jl:2010-2023), else instance 0."""
+    src/instanced-bvh.jl:2010-2023), else instance 0. ``orig`` is the
+    ORIGINAL-order index from the hot row."""
     if scene.instance_of_prim is None:
         return jnp.where(hit, 0, -1)
-    inst = jnp.take(scene.instance_of_prim, jnp.clip(pair, 0, None))
+    n = scene.instance_of_prim.shape[0]
+    inst = jnp.take(scene.instance_of_prim, jnp.clip(orig, 0, n - 1))
     return jnp.where(hit, inst, -1)
 
 
@@ -444,12 +526,12 @@ def finalize_hits(scene: DenseScene, pair, t, u, v) -> HitResult:
     """HitResult from raw best arrays (jit this together with the query —
     eager glue on the tunneled backend costs ~ms per op)."""
     hit = (pair >= 0) & jnp.isfinite(t)
-    tri = gather_hit_triangles(scene, jnp.clip(pair, 0, None), hit)
+    tri, orig = gather_hit_payload(scene, jnp.clip(pair, 0, None), hit)
     bary = jnp.where(hit[:, None], jnp.stack([1 - u - v, u, v], -1), 0.0)
     return HitResult(hit=hit, triangle=tri, t=jnp.where(hit, t, 0.0),
                      barycentric=bary,
-                     prim_idx=jnp.where(hit, pair, -1),
-                     instance_idx=_hit_instance_idx(scene, pair, hit))
+                     prim_idx=orig,
+                     instance_idx=_hit_instance_idx(scene, orig, hit))
 
 
 def finalize_hits_exact(scene: DenseScene, pair, t_approx, o, d) -> HitResult:
@@ -460,7 +542,7 @@ def finalize_hits_exact(scene: DenseScene, pair, t_approx, o, d) -> HitResult:
     src/instanced-bvh.jl:1756-1797). Winners admitted under the featurized
     EDGE_EPS slack clamp into the barycentric simplex."""
     hit = (pair >= 0) & jnp.isfinite(t_approx)
-    tri = gather_hit_triangles(scene, jnp.clip(pair, 0, None), hit)
+    tri, orig = gather_hit_payload(scene, jnp.clip(pair, 0, None), hit)
     v0, v1, v2 = tri.vertices[:, 0], tri.vertices[:, 1], tri.vertices[:, 2]
     e1 = v1 - v0
     e2 = v2 - v0
@@ -477,8 +559,8 @@ def finalize_hits_exact(scene: DenseScene, pair, t_approx, o, d) -> HitResult:
     bary = jnp.where(hit[:, None], jnp.stack([1 - u - v, u, v], -1), 0.0)
     return HitResult(hit=hit, triangle=tri, t=jnp.where(hit, t, 0.0),
                      barycentric=bary,
-                     prim_idx=jnp.where(hit, pair, -1),
-                     instance_idx=_hit_instance_idx(scene, pair, hit))
+                     prim_idx=orig,
+                     instance_idx=_hit_instance_idx(scene, orig, hit))
 
 
 @partial(jax.jit, static_argnames=("tile", "select_per_round", "max_rounds"))

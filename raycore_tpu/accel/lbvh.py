@@ -183,7 +183,7 @@ def _build_blas_padded(tris: Triangle, n_real: int) -> BLAS:
     order = jnp.arange(cap, dtype=jnp.int32)
     codes_sorted, perm = jax.lax.sort((codes, order), num_keys=1,
                                       is_stable=True)
-    prims = jax.tree_util.tree_map(lambda a: jnp.take(a, perm, axis=0), tris)
+    prims = permute_triangles(tris, perm)
 
     child0, child1, parent = karras_topology(codes_sorted)
 
@@ -231,16 +231,40 @@ def pack_nodes_blas(child0, child1, parent, node_min, node_max, sorted_verts):
     return jnp.concatenate([internal, leaves], axis=0)
 
 
-@partial(jax.jit, static_argnames=())
-def _morton_sort_padded(tris: Triangle):
-    """Morton-sort a capacity-padded Triangle SoA (the build's first three
-    stages only: bounds -> codes -> stable sort + permute). The dense
-    clustered engine needs nothing else from the BVH build.
+def permute_triangles(tris: Triangle, perm):
+    """Apply a row permutation to a Triangle SoA with ONE wide gather.
+
+    TPU gathers are row-latency bound (~12 ns/row regardless of width up
+    to ~100B — tools/ probes), so five per-field takes cost ~5x one take
+    of the concatenated (T, 34) matrix. Metadata rides as its f32 bit
+    pattern (bitcast, not a value cast: ids above 2^24 must survive)."""
+    from .types import f32_as_i32, i32_as_f32
+    T = tris.vertices.shape[0]
+    flat = jnp.concatenate([
+        tris.vertices.reshape(T, 9),
+        tris.normals.reshape(T, 9),
+        tris.tangents.reshape(T, 9),
+        tris.uv.reshape(T, 6),
+        i32_as_f32(tris.metadata.astype(jnp.int32))[:, None]], axis=1)
+    g = jnp.take(flat, perm, axis=0)
+    return Triangle(
+        vertices=g[:, 0:9].reshape(T, 3, 3),
+        normals=g[:, 9:18].reshape(T, 3, 3),
+        tangents=g[:, 18:27].reshape(T, 3, 3),
+        uv=g[:, 27:33].reshape(T, 3, 2),
+        metadata=f32_as_i32(g[:, 33]).astype(jnp.uint32))
+
+
+@jax.jit
+def morton_perm_padded(v):
+    """(cap,) permutation Morton-sorting capacity-padded (cap, 3, 3)
+    triangle vertices (padding sentinels sort last). Perm-only so callers
+    can move exactly the data they need (the dense build permutes one
+    packed hot matrix instead of the whole SoA).
 
     Scene bounds for code normalization must EXCLUDE the PAD_COORD
     sentinels, or every real centroid collapses to one Morton cell and the
     clustering degenerates."""
-    v = tris.vertices
     bmin, bmax = _tri_bounds(v)
     real = bmin[:, 0] < PAD_COORD / 2
     scene_min = jnp.min(jnp.where(real[:, None], bmin, jnp.inf), axis=0)
@@ -250,8 +274,15 @@ def _morton_sort_padded(tris: Triangle):
         _normalize_centroids(centers, scene_min, scene_max))
     order = jnp.arange(v.shape[0], dtype=jnp.int32)
     _, perm = jax.lax.sort((codes, order), num_keys=1, is_stable=True)
-    return (jax.tree_util.tree_map(lambda a: jnp.take(a, perm, axis=0), tris),
-            perm)
+    return perm
+
+
+@partial(jax.jit, static_argnames=())
+def _morton_sort_padded(tris: Triangle):
+    """Morton-sort a capacity-padded Triangle SoA (the build's first three
+    stages only: bounds -> codes -> stable sort + permute)."""
+    perm = morton_perm_padded(tris.vertices)
+    return permute_triangles(tris, perm), perm
 
 
 def morton_sort_triangles(tris: Triangle, capacity: int,
@@ -265,17 +296,17 @@ def morton_sort_triangles(tris: Triangle, capacity: int,
 
 
 @partial(jax.jit, static_argnames=("axes", "s0", "s1"))
-def _tile_sort_padded(tris: Triangle, *, axes: tuple, s0: int, s1: int):
-    """Count-balanced 3-level spatial sort of a capacity-padded SoA:
-    equal-count strips along the longest scene axis, equal-count slabs
-    along the second within each strip, final order along the third.
-    Because capacity and the strip/slab counts are powers of two, every
-    boundary between cluster_size chunks is also a strip/slab boundary —
-    downstream fixed-size clusters are compact axis-aligned tiles instead
-    of Morton chunks (measured: Morton clusters' xy footprint is 3-9x the
-    ideal tile area on a 1M-tri heightfield, i.e. ~9 clusters overlap a
+def tile_perm_padded(v, *, axes: tuple, s0: int, s1: int):
+    """(cap,) permutation for the count-balanced 3-level spatial sort of
+    capacity-padded (cap, 3, 3) triangle vertices: equal-count strips
+    along the longest scene axis, equal-count slabs along the second
+    within each strip, final order along the third. Because capacity and
+    the strip/slab counts are powers of two, every boundary between
+    cluster_size chunks is also a strip/slab boundary — downstream
+    fixed-size clusters are compact axis-aligned tiles instead of Morton
+    chunks (measured: Morton clusters' xy footprint is 3-9x the ideal
+    tile area on a 1M-tri heightfield, i.e. ~9 clusters overlap a
     vertical ray where tiles give ~2; tools/measure_regroup_gain.py)."""
-    v = tris.vertices
     bmin, bmax = _tri_bounds(v)
     real = bmin[:, 0] < PAD_COORD / 2
     scene_min = jnp.min(jnp.where(real[:, None], bmin, jnp.inf), axis=0)
@@ -304,23 +335,17 @@ def _tile_sort_padded(tris: Triangle, *, axes: tuple, s0: int, s1: int):
     realp = jnp.take(real, perm)
     q2 = jnp.where(realp, jnp.take(q[:, axes[2]], perm), jnp.int32(65536))
     perm = jnp.take(perm, sort_perm(slab * 65537 + q2))
-    return (jax.tree_util.tree_map(lambda a: jnp.take(a, perm, axis=0), tris),
-            perm)
+    return perm
 
 
-def tile_sort_triangles(tris: Triangle, capacity: int,
-                        cluster_size: int, return_perm: bool = False):
-    """Pad to capacity and sort into count-balanced spatial tiles of
-    ``cluster_size``. Strip/slab counts are powers of two chosen by
-    greedily halving the currently-longest scene extent (one small host
-    sync for the 6 scene-bound floats; the sort itself is jitted and
-    shape-bucketed like the Morton path). With return_perm, also returns
-    the applied (capacity,) permutation (entries >= n are padding)."""
+def tile_sort_axes(vertices, capacity: int, cluster_size: int):
+    """Host-side strip/slab shape choice for the tile sort: greedily
+    halve the currently-longest scene extent. One small host sync for
+    the 6 scene-bound floats (vertices can be tens of MB and host
+    transfers through the tunneled backend cost ~10 ms/MB). Returns
+    (axes, s0, s1) for tile_perm_padded."""
     import numpy as np
-    padded = pad_triangles(tris, capacity)
-    # Reduce on device, pull only 6 floats (vertices can be tens of MB and
-    # host transfers through the tunneled backend cost ~10 ms/MB).
-    vr = jnp.asarray(tris.vertices, jnp.float32).reshape(-1, 3)
+    vr = jnp.asarray(vertices, jnp.float32).reshape(-1, 3)
     lohi = np.asarray(jnp.concatenate([jnp.min(vr, 0), jnp.max(vr, 0)]))
     lo, hi = lohi[:3], lohi[3:]
     ext = np.maximum(hi - lo, 1e-12)
@@ -333,8 +358,18 @@ def tile_sort_triangles(tris: Triangle, capacity: int,
         e[a] *= 0.5
     axes = tuple(int(a) for a in np.argsort(-np.asarray(bits, np.float64)
                                             - ext / ext.max() * 0.5))
-    s0, s1 = 1 << bits[axes[0]], 1 << bits[axes[1]]
-    out, perm = _tile_sort_padded(padded, axes=axes, s0=s0, s1=s1)
+    return axes, 1 << bits[axes[0]], 1 << bits[axes[1]]
+
+
+def tile_sort_triangles(tris: Triangle, capacity: int,
+                        cluster_size: int, return_perm: bool = False):
+    """Pad to capacity and sort into count-balanced spatial tiles of
+    ``cluster_size``. With return_perm, also returns the applied
+    (capacity,) permutation (entries >= n are padding)."""
+    padded = pad_triangles(tris, capacity)
+    axes, s0, s1 = tile_sort_axes(tris.vertices, capacity, cluster_size)
+    perm = tile_perm_padded(padded.vertices, axes=axes, s0=s0, s1=s1)
+    out = permute_triangles(padded, perm)
     return (out, perm) if return_perm else out
 
 

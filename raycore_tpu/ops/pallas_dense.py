@@ -368,6 +368,11 @@ def _occl_finalize(scene, tids, cids, phi_p, tmin_p, tmax_p, *, TILE: int,
     pair = pair[:R0]
     hit = pair >= 0
     R = pair.shape[0]
+    # Translate the table-space winner to its original index (one tiny
+    # R-row gather of the hot original-index column).
+    from ..accel.types import f32_as_i32
+    bits = jnp.take(scene.prims_hot[:, 10], jnp.clip(pair, 0, None))
+    orig = jnp.where(hit, f32_as_i32(bits), -1)
     z3 = jnp.zeros((R, 3, 3), jnp.float32)
     tri = Triangle(vertices=z3, normals=z3, tangents=z3,
                    uv=jnp.zeros((R, 3, 2), jnp.float32),
@@ -375,8 +380,8 @@ def _occl_finalize(scene, tids, cids, phi_p, tmin_p, tmax_p, *, TILE: int,
     return HitResult(hit=hit, triangle=tri,
                      t=jnp.zeros((R,), jnp.float32),
                      barycentric=jnp.zeros((R, 3), jnp.float32),
-                     prim_idx=jnp.where(hit, pair, -1),
-                     instance_idx=_hit_instance_idx(scene, pair, hit))
+                     prim_idx=orig,
+                     instance_idx=_hit_instance_idx(scene, orig, hit))
 
 
 def any_hit_dense_pallas_auto(scene, rays, *, tile: int = 512):

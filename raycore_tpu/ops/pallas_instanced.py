@@ -37,7 +37,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..accel.dense import FEAT, gather_hit_triangles, ray_features
+from ..accel.dense import FEAT, ray_features
 from ..core.transforms import _apply_mat3
 from ..core.triangle import safe_invdir
 from .pallas_dense import _t_from_keys, build_worklist, phase_a_entry_bounds
@@ -202,8 +202,9 @@ def _stage2_inst(scene, block_cid, block_subs, tbl, qsub, qinst, o, d, *,
 
 def _finalize_local(scene, prim, inst, t_approx, o_l, d_l):
     from ..accel.brute import HitResult
+    from ..accel.dense import gather_hit_payload
     hit = (prim >= 0) & jnp.isfinite(t_approx)
-    tri = gather_hit_triangles(scene, jnp.clip(prim, 0, None), hit)
+    tri, orig = gather_hit_payload(scene, jnp.clip(prim, 0, None), hit)
     v0, v1, v2 = tri.vertices[:, 0], tri.vertices[:, 1], tri.vertices[:, 2]
     e1 = v1 - v0
     e2 = v2 - v0
@@ -220,7 +221,7 @@ def _finalize_local(scene, prim, inst, t_approx, o_l, d_l):
     bary = jnp.where(hit[:, None], jnp.stack([1 - u - v, u, v], -1), 0.0)
     return HitResult(hit=hit, triangle=tri, t=jnp.where(hit, t, 0.0),
                      barycentric=bary,
-                     prim_idx=jnp.where(hit, prim, -1),
+                     prim_idx=orig,
                      instance_idx=jnp.where(hit, inst, -1))
 
 

@@ -33,8 +33,11 @@ class DenseInstancedScene:
     tri_feats: jnp.ndarray     # (K_total, FEAT, 4*C)
     cluster_min: jnp.ndarray   # (K_total, 3) local AABBs
     cluster_max: jnp.ndarray   # (K_total, 3)
-    prims: Triangle            # (K_total*C, ...) local sorted prims
-    prims_hot: jnp.ndarray     # (K_total*C, 10)
+    prims: Triangle            # concatenated per-BLAS local prims,
+                               # ORIGINAL (unsorted, unpadded) order
+    prims_hot: jnp.ndarray     # (K_total*C, 11) sorted hot rows; col 10
+                               # holds the GLOBAL original index into
+                               # ``prims`` (per-BLAS bases applied)
     # Per instance (refreshed by refresh_instances, no geometry rebuild).
     inst_inv: jnp.ndarray      # (I, 3, 4) world -> local
     inst_blas: jnp.ndarray     # (I,) int32 blas slot (dense, deduped)
@@ -108,6 +111,19 @@ def bake_instanced(mgr, cluster_size: int = 128,
     tri_feats = cat(lambda d: d.tri_feats)
     prims = jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs, axis=0), *[d.prims for d in per])
+    # Rebase each BLAS's hot original-index column (local, possibly
+    # pointing at padding) to the global row in the concatenated prims.
+    from ..accel.types import f32_as_i32, i32_as_f32
+    prim_base = np.cumsum(
+        [0] + [d.prims.vertices.shape[0] for d in per])[:-1]
+    hot_parts = []
+    for base, d in zip(prim_base, per):
+        n_local = d.prims.vertices.shape[0]
+        h = d.prims_hot
+        orig_l = jnp.clip(f32_as_i32(h[:, 10]), 0, n_local - 1)
+        hot_parts.append(h.at[:, 10].set(
+            i32_as_f32(orig_l + jnp.int32(base))))
+    prims_hot = jnp.concatenate(hot_parts, axis=0)
 
     tj = jnp.asarray(transforms)
     inv = mat3x4_inverse(tj)
@@ -123,7 +139,7 @@ def bake_instanced(mgr, cluster_size: int = 128,
         tri_feats=tri_feats,
         cluster_min=cat(lambda d: d.cluster_min),
         cluster_max=cat(lambda d: d.cluster_max),
-        prims=prims, prims_hot=cat(lambda d: d.prims_hot),
+        prims=prims, prims_hot=prims_hot,
         inst_inv=inv, inst_blas=bi,
         inst_cbase=jnp.take(jnp.asarray(cbase_by_dense), bi),
         inst_ncl=jnp.take(jnp.asarray(ncl_by_dense), bi),

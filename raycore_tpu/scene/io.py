@@ -62,6 +62,8 @@ def save_scene(path: str, scene) -> None:
             statics=np.asarray([scene.n_prims, scene.cluster_size,
                                 scene.sub_chunks, scene.payload_mask]),
             **_tri_arrays("prims_", scene.prims))
+        if scene.instance_of_prim is not None:
+            arrs["instance_of_prim"] = scene.instance_of_prim
     else:
         raise TypeError(f"cannot serialize {type(scene)}")
     np.savez_compressed(path, **{k: np.asarray(v) for k, v in arrs.items()})
@@ -92,6 +94,11 @@ def load_scene(path: str):
         s = z["statics"]
         if "prims_hot" in z:
             hot = jnp.asarray(z["prims_hot"])
+            if hot.shape[1] == 10:   # legacy 10-col rows: prims were in
+                # table order, so the original index is the row index
+                from ..accel.types import i32_as_f32
+                idx = i32_as_f32(jnp.arange(hot.shape[0], jnp.int32))
+                hot = jnp.concatenate([hot, idx[:, None]], axis=1)
         else:                        # legacy format: slice the packed rows
             from ..accel.dense import pack_prims_hot
             hot = pack_prims_hot(_tri_from("prims_", z))
@@ -105,5 +112,7 @@ def load_scene(path: str):
             root_aabb=jnp.asarray(z["root_aabb"]),
             n_prims=int(s[0]), cluster_size=int(s[1]),
             sub_chunks=int(s[2]) if len(s) > 2 else 4,
-            payload_mask=int(s[3]) if len(s) > 3 else 0b111)
+            payload_mask=int(s[3]) if len(s) > 3 else 0b111,
+            instance_of_prim=(jnp.asarray(z["instance_of_prim"])
+                              if "instance_of_prim" in z else None))
     raise ValueError(f"unknown scene kind {kind!r}")
