@@ -43,10 +43,20 @@ def main():
     cluster = int(os.environ.get("RAYCORE_BENCH_CLUSTER", 128))
     select = int(os.environ.get("RAYCORE_BENCH_SELECT", 4))
 
-    # Procedural 1M-tri heightfield (spatially coherent, like a scanned model).
-    grid_n = int(np.sqrt(n_tris_target / 2))
+    # Bench scene: "heightfield" (default; one depth layer, hit_frac ~1.0,
+    # matches BASELINE's coherent primary-ray config) or "blobby" (closed
+    # displaced sphere: >=2 depth layers per ray + silhouette misses — the
+    # xyzrgb_dragon-class depth-complexity profile; no mesh assets can be
+    # fetched in this zero-egress environment, so scanned stand-ins are
+    # procedural).
+    scene_kind = os.environ.get("RAYCORE_BENCH_SCENE", "heightfield")
     t0 = time.time()
-    mesh = rc.displaced_grid_mesh(n=grid_n, extent=2.0, amplitude=0.35)
+    if scene_kind == "blobby":
+        nt = int(np.sqrt(n_tris_target / 2))
+        mesh = rc.blobby_mesh(n_theta=nt, n_phi=nt)
+    else:
+        grid_n = int(np.sqrt(n_tris_target / 2))
+        mesh = rc.displaced_grid_mesh(n=grid_n, extent=2.0, amplitude=0.35)
     n_tris = mesh.vertices.shape[0]
 
     def do_build():
@@ -191,7 +201,7 @@ def main():
             "best_s": round(best, 5),
             "times_s": [round(t, 5) for t in times],
             "backend": jax.default_backend(),
-            "tile": tile, "engine": engine,
+            "tile": tile, "engine": engine, "scene": scene_kind,
         }
     }), file=sys.stderr)
 

@@ -57,10 +57,12 @@ from .accel.protocol import AbstractAccel, TLASAccel, BruteAccel
 from .accel.dense import (DenseScene, build_dense, closest_hit_dense,
                           any_hit_dense, morton_sort_rays)
 from .ops.pallas_dense import closest_hit_dense_pallas
-from .scene.tlas import TLAS, TLASHandle, INVALID_HANDLE, blas_to_static_tlas
+from .scene.tlas import (TLAS, TLASHandle, INVALID_HANDLE,
+                         blas_to_static_tlas, instance_buffer, refit_tlas)
 from .scene.mesh import (build_triangles, build_triangle,
                          is_degenerate_face, sphere_mesh,
-                         box_mesh, plane_mesh, displaced_grid_mesh)
+                         box_mesh, plane_mesh, displaced_grid_mesh,
+                         blobby_mesh)
 from .scene.obj import load_obj
 from .scene.io import save_scene, load_scene
 from .scene.bake import bake_dense, flatten_world_triangles

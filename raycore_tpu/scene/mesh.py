@@ -104,19 +104,18 @@ def uv_sphere(center=(0, 0, 0), radius=1.0, n_theta=16, n_phi=32):
     pts = np.stack([x, y, z], -1).reshape(-1, 3).astype(np.float32)
     verts = center + radius * pts
 
-    def vid(i, j):
-        return i * n_phi + (j % n_phi)
-
-    faces = []
-    for i in range(n_theta):
-        for j in range(n_phi):
-            a, b = vid(i, j), vid(i, j + 1)
-            c, d = vid(i + 1, j + 1), vid(i + 1, j)
-            if i > 0:
-                faces.append((a, b, c))
-            if i < n_theta - 1:
-                faces.append((a, c, d))
-    faces = np.asarray(faces, np.int64)
+    # Vectorized with the same emission order as the original Python loop
+    # (per cell: upper then lower; row-major over (i, j)) — face order
+    # defines default metadata ids downstream.
+    I, J = np.meshgrid(np.arange(n_theta), np.arange(n_phi), indexing="ij")
+    a = I * n_phi + J
+    b = I * n_phi + (J + 1) % n_phi
+    c = (I + 1) * n_phi + (J + 1) % n_phi
+    d = (I + 1) * n_phi + J
+    cell = np.stack([np.stack([a, b, c], -1),
+                     np.stack([a, c, d], -1)], axis=2)   # (nt, np, 2, 3)
+    valid = np.stack([I > 0, I < n_theta - 1], axis=2)   # (nt, np, 2)
+    faces = cell.reshape(-1, 3)[valid.ravel()].astype(np.int64)
     # Orient faces so geometric normals point outward (away from center).
     tv = verts[faces]
     n = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
@@ -163,6 +162,28 @@ def plane_mesh(center=(0, 0, 0), u=(1, 0, 0), v=(0, 1, 0), metadata=None) -> Tri
     verts = np.stack([c - u - v, c + u - v, c + u + v, c - u + v])
     faces = np.asarray([(0, 1, 2), (0, 2, 3)], np.int64)
     return build_triangles(verts, faces, metadata=metadata)
+
+
+def blobby_mesh(n_theta=354, n_phi=354, radius=1.0, amplitude=0.25,
+                seed=0, octaves=8, metadata=None) -> Triangle:
+    """A closed 'scanned-statue' stand-in: a UV sphere displaced radially
+    by multi-octave smooth noise — ~2*n_theta*n_phi triangles. Unlike the
+    heightfield (one depth layer, hit_frac 1), every ray through it
+    crosses >=2 surface layers and the silhouette mixes hits and misses,
+    which is the depth-complexity profile of the reference's
+    xyzrgb_dragon benchmark mesh (no mesh assets can be fetched in this
+    environment, so benchmark scenes are procedural)."""
+    rng = np.random.default_rng(seed)
+    v, f, _ = uv_sphere((0.0, 0.0, 0.0), 1.0, n_theta, n_phi)
+    p = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-9)
+    disp = np.zeros(p.shape[0], np.float32)
+    for i in range(octaves):
+        k = rng.normal(size=3).astype(np.float32) * (1.3 ** i + 1.0)
+        ph = np.float32(rng.uniform(0, 2 * np.pi))
+        disp += np.sin(p @ k * np.pi + ph).astype(np.float32) / (1.25 ** i)
+    disp *= amplitude / octaves * 2.0
+    verts = (p * (radius * (1.0 + disp))[:, None]).astype(np.float32)
+    return build_triangles(verts, f, metadata=metadata)
 
 
 def displaced_grid_mesh(n=128, extent=2.0, amplitude=0.35, seed=0,

@@ -2,6 +2,11 @@
 oracle, moderate scale. CPU interpret parity is covered by pytest; this
 validates the compiled kernel's semantics on real TPU hardware."""
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -28,18 +33,32 @@ d[:, 2] = -np.abs(d[:, 2]) - 0.2
 d[::7] = [0.0, 0.0, -1.0]
 rays = rc.Ray.create(o=jnp.asarray(o), d=jnp.asarray(d))
 
-ref = closest_hit_brute(scene.prims, rays)
-got = closest_hit_regrouped(scene, rays, tile=2048, passes=1)
-rh, gh = np.asarray(ref.hit), np.asarray(got.hit)
-assert np.array_equal(rh, gh), f"hit mismatch: {np.sum(rh != gh)}"
-both = rh
-rt, gt = np.asarray(ref.t)[both], np.asarray(got.t)[both]
-np.testing.assert_allclose(gt, rt, rtol=2e-5, atol=2e-6)
-pm = (np.asarray(ref.prim_idx)[both] == np.asarray(got.prim_idx)[both])
-dd = np.abs(gt - rt)[~pm] / np.maximum(rt[~pm], 1e-6) if (~pm).any() else 0
-print(f"hits={both.sum()} prim-match={pm.mean():.5f} "
-      f"max-rel-dt-of-flips={np.max(dd) if (~pm).any() else 0:.2e}",
-      flush=True)
-if (~pm).any():
-    assert np.max(dd) < 2e-6, "non-tie winner mismatch"
+def check(tag, rays):
+    ref = closest_hit_brute(scene.prims, rays)
+    got = closest_hit_regrouped(scene, rays, tile=2048, passes=1)
+    rh, gh = np.asarray(ref.hit), np.asarray(got.hit)
+    assert np.array_equal(rh, gh), f"{tag}: hit mismatch {np.sum(rh != gh)}"
+    both = rh
+    rt, gt = np.asarray(ref.t)[both], np.asarray(got.t)[both]
+    np.testing.assert_allclose(gt, rt, rtol=2e-5, atol=2e-6)
+    pm = (np.asarray(ref.prim_idx)[both] == np.asarray(got.prim_idx)[both])
+    dd = (np.abs(gt - rt)[~pm] / np.maximum(rt[~pm], 1e-6)
+          if (~pm).any() else 0)
+    print(f"{tag}: rays={rh.size} hit-mask-mismatch=0 hits={both.sum()} "
+          f"prim-match={pm.mean():.5f} "
+          f"max-rel-dt-of-flips={np.max(dd) if (~pm).any() else 0:.2e}",
+          flush=True)
+    if (~pm).any():
+        assert np.max(dd) < 2e-6, f"{tag}: non-tie winner mismatch"
+
+
+check("incoherent", rays)
+
+side = int(np.sqrt(R))
+xs = jnp.linspace(-0.93, 0.93, side, dtype=jnp.float32)
+X, Y = jnp.meshgrid(xs, xs, indexing="ij")
+oc = jnp.stack([X, Y, jnp.full_like(X, 2.0)], -1).reshape(-1, 3)
+dc = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0], jnp.float32), oc.shape)
+check("coherent-grid", rc.Ray.create(o=oc, d=dc))
+
 print("TPU parity OK", flush=True)
