@@ -228,6 +228,40 @@ class TLAS:
             self._blas_refcount[slot] += len(idxs)
         self._dirty = True
 
+    def instance_buffer(self, handle: TLASHandle) -> np.ndarray:
+        """Writable (n, 3, 4) float32 transform buffer for a multi-instance
+        batch (reference instance_buffer, src/Raycore.jl:118-130: hand out
+        the raw instance buffer so callers can mutate transforms in place,
+        then commit with refit_tlas!). TPU-native shape: device arrays are
+        immutable, so the mutable surface is the HOST staging buffer — the
+        returned ndarray's rows ARE the batch's transform storage (each
+        instance record aliases a row view). Write into it, then call
+        :func:`refit_tlas` (or ``sync``) to upload + refit.
+
+        Errors loudly for single-instance handles, matching the reference
+        ("refers to a per-mesh push! instance, which has no instance
+        buffer")."""
+        idxs = self._require(handle)
+        if len(idxs) < 2:
+            raise ValueError(
+                f"handle {handle.id} is a single-instance push, not an "
+                "instance batch; use update_transform instead")
+        buf = np.stack([self._instances[i].transform for i in idxs]) \
+                .astype(np.float32)
+        for k, i in enumerate(idxs):
+            self._instances[i].transform = buf[k]   # row views alias buf
+        # Caller writes are invisible to us until commit; be conservative.
+        self._transforms_dirty = True
+        return buf
+
+    def refit_tlas(self) -> "StaticTLAS":
+        """Commit in-place transform edits (e.g. through
+        :meth:`instance_buffer`) and refit the TLAS (reference refit_tlas!,
+        src/instanced-bvh.jl:880-915). Equivalent to marking transforms
+        dirty and calling :meth:`sync`."""
+        self._transforms_dirty = True
+        return self.sync()
+
     def get_instance(self, handle: TLASHandle):
         recs = [self._instances[i] for i in self._require(handle)]
         return recs[0] if len(recs) == 1 else recs
@@ -365,3 +399,15 @@ def blas_to_static_tlas(blas: BLAS) -> StaticTLAS:
     t._instances = [_InstanceRec(0, 0, np.eye(3, 4, dtype=np.float32), 0)]
     t._handles = {0: [0]}
     return t.sync()
+
+
+def instance_buffer(tlas: TLAS, handle: TLASHandle) -> np.ndarray:
+    """Functional spelling of :meth:`TLAS.instance_buffer` (the reference
+    exports `instance_buffer(tlas, handle)`, src/Raycore.jl:118-130)."""
+    return tlas.instance_buffer(handle)
+
+
+def refit_tlas(tlas: TLAS) -> StaticTLAS:
+    """Functional spelling of :meth:`TLAS.refit_tlas` (reference
+    refit_tlas!, src/instanced-bvh.jl:880-915)."""
+    return tlas.refit_tlas()

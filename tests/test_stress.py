@@ -250,3 +250,27 @@ def test_free_drops_scene():
     assert mgr.n_instances == 0 and mgr.n_geometries == 0
     with pytest.raises(ValueError):
         mgr.sync()
+
+
+def test_instance_buffer_write_and_refit():
+    """instance_buffer hands out a writable host staging buffer whose rows
+    alias the batch's transforms; refit_tlas commits (reference
+    instance_buffer, src/Raycore.jl:118-130)."""
+    n = 16
+    mgr = TLAS()
+    base = np.tile(np.eye(3, 4, dtype=np.float32), (n, 1, 1))
+    base[:, 0, 3] = np.arange(n) * 3.0
+    h = mgr.push(sphere(0.5, 6, 8), transforms=list(base))
+    mgr.sync()
+    buf = rc.instance_buffer(mgr, h)
+    assert buf.shape == (n, 3, 4)
+    buf[:, 1, 3] = 2.0                      # shift every instance +2 in y
+    s = rc.refit_tlas(mgr)
+    r = trav.closest_hit(
+        s, rc.Ray.create(o=[15.02, 2.01, -4.0], d=[0.0, 0.0, 1.0]),
+        tile_size=64)
+    assert bool(r.hit) and int(r.instance_idx) == 5
+    # Single-instance handles have no batch buffer: loud error.
+    h1 = mgr.push(sphere(), None)
+    with pytest.raises(ValueError):
+        rc.instance_buffer(mgr, h1)
