@@ -51,13 +51,36 @@ def gather_triangles(tris: _tri.Triangle, idx) -> _tri.Triangle:
     return jax.tree_util.tree_map(take, tris)
 
 
-def closest_hit_brute(tris: _tri.Triangle, rays: Ray) -> HitResult:
+def closest_hit_brute(tris: _tri.Triangle, rays: Ray,
+                      ray_chunk: int | None = None) -> HitResult:
     """Closest hit by exhaustive Möller–Trumbore + argmin.
 
     ``tris``: (N, ...) SoA; ``rays``: batched Ray. Hit selection matches the
     traversal semantics: smallest t in [t_min, t_max]; ties resolve to the
     lowest triangle index (deterministic, unlike traversal order — tests
-    must use tie-free scenes when comparing)."""
+    must use tie-free scenes when comparing).
+
+    ``ray_chunk``: process flat rays in chunks of this size (the (rays, N)
+    intermediates are O(R*N) — 1M rays x 100K tris is 26 GB, past HBM;
+    chunking keeps the oracle usable for on-device parity at scale).
+    Hit masks and winner indices are identical to the unchunked oracle;
+    t may differ by ~1 ULP (different XLA fusion under lax.map)."""
+    if ray_chunk is not None:
+        batch = rays.batch_shape
+        flat = jax.tree_util.tree_map(
+            lambda a: a.reshape((-1,) + a.shape[len(batch):]), rays)
+        R = flat.o.shape[0]
+        pad = (-R) % ray_chunk
+        if pad:
+            flat = jax.tree_util.tree_map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])]), flat)
+        chunked = jax.tree_util.tree_map(
+            lambda a: a.reshape((-1, ray_chunk) + a.shape[1:]), flat)
+        out = jax.lax.map(lambda r: closest_hit_brute(tris, r), chunked)
+        return jax.tree_util.tree_map(
+            lambda a: a.reshape((-1,) + a.shape[2:])[:R]
+                       .reshape(batch + a.shape[2:]), out)
     o = rays.o[..., None, :]          # (..., 1, 3)
     d = rays.d[..., None, :]
     v = tris.vertices                 # (N, 3, 3)

@@ -34,7 +34,7 @@ d[::7] = [0.0, 0.0, -1.0]
 rays = rc.Ray.create(o=jnp.asarray(o), d=jnp.asarray(d))
 
 def check(tag, rays):
-    ref = closest_hit_brute(scene.prims, rays)
+    ref = closest_hit_brute(scene.prims, rays, ray_chunk=2048)
     got = closest_hit_regrouped(scene, rays, tile=2048, passes=1)
     rh, gh = np.asarray(ref.hit), np.asarray(got.hit)
     assert np.array_equal(rh, gh), f"{tag}: hit mismatch {np.sum(rh != gh)}"
