@@ -136,9 +136,14 @@ def main():
         SPB = int(os.environ.get("RAYCORE_BENCH_SPB", 16))
         combine = os.environ.get("RAYCORE_BENCH_COMBINE", "grouped")
         passes = int(os.environ.get("RAYCORE_BENCH_PASSES", 1))
+        # with_checksum: the warm path's own totals readback carries a
+        # strided sum of result.t — value-dependent on the whole query,
+        # i.e. the same honest barrier the probe provides, minus one
+        # dispatch + one roundtrip per rep on the tunneled backend.
         run = lambda: closest_hit_regrouped(scene, rays, tile=tile,
                                             subgroup=G, spb=SPB,
-                                            combine=combine, passes=passes)
+                                            combine=combine, passes=passes,
+                                            with_checksum=True)
     elif engine == "dense_pallas_auto":
         from raycore_tpu.ops.pallas_dense import closest_hit_dense_pallas_auto
         run = lambda: closest_hit_dense_pallas_auto(scene, rays, tile=tile)
@@ -170,16 +175,24 @@ def main():
     # result cannot return before the device has produced it.
     probe = jax.jit(lambda t: t[::257].sum())
 
+    def run_synced():
+        out = run()
+        if isinstance(out, tuple):          # (res, checksum-or-None)
+            res, csum = out
+            if csum is None:
+                float(probe(res.t))
+            return res
+        float(probe(out.t))
+        return out
+
     # Warmup / compile.
-    res = run()
-    float(probe(res.t))
+    res = run_synced()
     hit_frac = float(jnp.mean(res.hit))
 
     times = []
     for _ in range(reps):
         t1 = time.time()
-        res = run()
-        float(probe(res.t))
+        res = run_synced()
         times.append(time.time() - t1)
     best = min(times)
     mrays = n_rays / best / 1e6

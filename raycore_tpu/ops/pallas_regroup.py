@@ -776,7 +776,14 @@ def _fused_query(scene, o, d, t_min, t_max, *, TILE: int, G: int, SPB: int,
                        G, SPB, nb, interpret, combine, o.shape[0],
                        None, None)
     # One packed totals array = one host readback for the validation.
-    return res, jnp.stack([total, coarse_total])
+    # A result checksum rides along in the same readback: a strided sum
+    # over the result's t is value-dependent on the WHOLE query, so the
+    # caller's totals pull doubles as an honest completion barrier
+    # (tunneled backends: block_until_ready does not wait; see bench.py)
+    # without a second probe dispatch + roundtrip.
+    csum = jnp.sum(res.t[::257], dtype=jnp.float32)
+    return res, jnp.stack([total, coarse_total,
+                           jax.lax.bitcast_convert_type(csum, jnp.int32)])
 
 
 def _stage2_core(scene, block_cid, block_subs, tbl, o, d, G, SPB,
@@ -855,13 +862,21 @@ def _next_pow2(n: int) -> int:
 
 def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
                           spb: int = 16, pairs_per_tile: int = 48,
-                          combine: str = "grouped", passes: int = 2):
+                          combine: str = "grouped", passes: int = 2,
+                          with_checksum: bool = False):
     """Exact closest hit via the cluster-major regrouped sweep. One host
     sync reads the true block count and pow2-buckets the kernel grid
     (same auto-sizing contract as closest_hit_dense_pallas_auto).
     passes=2 sweeps each subgroup's nearest cluster first and prunes the
     rest against the resulting per-subgroup best-t bound (conservative,
-    so still exact); passes=1 sweeps every refined candidate."""
+    so still exact); passes=1 sweeps every refined candidate.
+
+    with_checksum=True returns (result, checksum) where checksum is a
+    HOST float strided-sum of result.t (None when the warm fused path
+    was not taken). Reading it costs nothing extra — it rides the warm
+    path's existing totals readback — and it is value-dependent on the
+    full query, so benchmarks can use it as the honest completion
+    barrier instead of dispatching a separate probe."""
     if scene.sub_chunks != 1:
         raise ValueError("regrouped engine requires sub_chunks=1 scenes")
     interpret = jax.default_backend() != "tpu"
@@ -908,7 +923,8 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
             P_cap=P_cap, nb=nb_pred, interpret=interpret,
             combine=combine, R0=R0)
         import numpy as _np
-        it, ic = (int(x) for x in _np.asarray(totals))
+        tarr = _np.asarray(totals)
+        it, ic = int(tarr[0]), int(tarr[1])
         if ic <= P_cap and it <= nb_pred:
             # Sticky-max both counts: shrinking workloads (e.g. later
             # path-tracer bounces) must NOT move to smaller capacity
@@ -916,6 +932,9 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
             # compile on the tunneled backend.
             _cache_put(scene, ck, max(cached["coarse"], ic),
                        max(cached["nb"], max(512, _next_pow2(it))))
+            if with_checksum:
+                return reshape_out(res), float(
+                    tarr[2:3].view(_np.float32)[0])
             return reshape_out(res)
 
     k1 = p1 = None
@@ -950,5 +969,6 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
     res = _stage2(scene, block_cid, block_subs, tbl, o[:R0], d[:R0],
                   G=G, SPB=SPB, n_blocks=nb, interpret=interpret,
                   combine=combine, R_pad=o.shape[0], k1=k1, p1=p1)
-    return jax.tree_util.tree_map(
+    res = jax.tree_util.tree_map(
         lambda a: a.reshape(batch + a.shape[1:]), res)
+    return (res, None) if with_checksum else res

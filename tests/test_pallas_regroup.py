@@ -159,3 +159,20 @@ def test_packed_requires_subchunks():
     scene, rays = _scene_and_rays(R=64)
     with pytest.raises(ValueError):
         closest_hit_packed(scene, rays)
+
+
+def test_regroup_with_checksum_warm_path():
+    """with_checksum: cold call returns None, the warm fused call returns
+    a host float equal to a strided sum of result.t (the bench's honest
+    completion barrier rides the totals readback)."""
+    scene, rays = _scene_and_rays(coherent=True, R=4096)
+    res0, cs0 = closest_hit_regrouped(scene, rays, passes=1,
+                                      with_checksum=True)
+    assert cs0 is None            # first call seeds the capacity cache
+    res1, cs1 = closest_hit_regrouped(scene, rays, passes=1,
+                                      with_checksum=True)
+    assert cs1 is not None
+    flat_t = np.asarray(res1.t).reshape(-1)
+    np.testing.assert_allclose(cs1, np.sum(flat_t[::257], dtype=np.float32),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(res0.t), np.asarray(res1.t))
