@@ -264,6 +264,63 @@ def _build_dense_perm(hot0, *, cluster_size: int, sub_chunks: int,
     return hot, blocks, cmin, cmax, sub_bounds, root
 
 
+@partial(jax.jit, static_argnames=("cap", "cluster_size", "sub_chunks",
+                                   "layout", "axes", "s0", "s1"))
+def _build_dense_fused(v, meta, *, cap: int, cluster_size: int,
+                       sub_chunks: int, layout: str, axes=None,
+                       s0: int = 0, s1: int = 0):
+    """Whole dense build as ONE jit (pack -> perm sorts -> hot gather ->
+    featurize+pack): a warm rebuild is a single dispatch + the final
+    readback — per-stage dispatch costs ~32 ms each through the tunneled
+    backend (tools/profile_build2.py), which dwarfed the ~25 ms of real
+    compute when the stages ran as separate jits."""
+    hot0 = _pack_hot_padded(v, meta, cap)
+    return _build_dense_perm(hot0, cluster_size=cluster_size,
+                             sub_chunks=sub_chunks, layout=layout,
+                             axes=axes, s0=s0, s1=s1)
+
+
+# Per-mesh probe memory (scene bounds + payload flags): one readback on
+# the first build of a mesh, none on rebuilds. Weakref-validated like the
+# engines' capacity caches (ids recycle after GC) and size-bounded FIFO.
+import weakref as _weakref
+
+_PROBE_CACHE: dict = {}
+_PROBE_CACHE_MAX = 64
+
+
+@jax.jit
+def _mesh_probe(v, n, tg, uv):
+    vr = v.reshape(-1, 3).astype(jnp.float32)
+    lohi = jnp.concatenate([jnp.min(vr, 0), jnp.max(vr, 0)])
+    flags = jnp.array([jnp.any(n != 0), jnp.any(tg != 0), jnp.any(uv != 0)])
+    return lohi, flags
+
+
+def _probe_mesh(tris: Triangle):
+    """(lohi ndarray(6), payload_mask int) for a mesh, cached by the
+    vertex array's identity."""
+    import numpy as np
+    key = (id(tris.vertices), tuple(tris.vertices.shape))
+    ent = _PROBE_CACHE.get(key)
+    if ent is not None and (ent["ref"] is None or
+                            ent["ref"]() is tris.vertices):
+        return ent["lohi"], ent["mask"]
+    lohi, flags = _mesh_probe(tris.vertices, tris.normals, tris.tangents,
+                              tris.uv)
+    lohi = np.asarray(lohi)
+    f = np.asarray(flags)
+    mask = int(1 * f[0] + 2 * f[1] + 4 * f[2])
+    try:
+        ref = _weakref.ref(tris.vertices)
+    except TypeError:
+        ref = None
+    while len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
+        _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
+    _PROBE_CACHE[key] = dict(lohi=lohi, mask=mask, ref=ref)
+    return lohi, mask
+
+
 def build_dense(tris: Triangle, cluster_size: int = 256,
                 sub_chunks: int = 1, layout: str = "tiles",
                 instance_of=None) -> DenseScene:
@@ -286,16 +343,15 @@ def build_dense(tris: Triangle, cluster_size: int = 256,
     from .types import next_pow2
     n = tris.vertices.shape[0]
     cap = max(next_pow2(n), cluster_size)
-    hot0 = _pack_hot_padded(tris.vertices, tris.metadata, cap)
+    lohi, payload_mask = _probe_mesh(tris)
     if layout == "tiles":
-        axes, s0, s1 = tile_sort_axes(tris.vertices, cap, cluster_size)
-        hot, blocks, cmin, cmax, sub_bounds, root = _build_dense_perm(
-            hot0, cluster_size=cluster_size, sub_chunks=sub_chunks,
-            layout="tiles", axes=axes, s0=s0, s1=s1)
+        axes, s0, s1 = tile_sort_axes(tris.vertices, cap, cluster_size,
+                                      lohi=lohi)
     else:
-        hot, blocks, cmin, cmax, sub_bounds, root = _build_dense_perm(
-            hot0, cluster_size=cluster_size, sub_chunks=sub_chunks,
-            layout="morton")
+        axes, s0, s1 = None, 0, 0
+    hot, blocks, cmin, cmax, sub_bounds, root = _build_dense_fused(
+        tris.vertices, tris.metadata, cap=cap, cluster_size=cluster_size,
+        sub_chunks=sub_chunks, layout=layout, axes=axes, s0=s0, s1=s1)
     scene = DenseScene(
         tri_feats=blocks, cluster_min=cmin, cluster_max=cmax,
         sub_bounds=sub_bounds, prims=tris, prims_hot=hot,
@@ -304,9 +360,7 @@ def build_dense(tris: Triangle, cluster_size: int = 256,
     if instance_of is not None:
         scene = scene.replace(
             instance_of_prim=jnp.asarray(instance_of, jnp.int32))
-    import numpy as np
-    f = np.asarray(_payload_flags(tris.normals, tris.tangents, tris.uv))
-    return scene.replace(payload_mask=int(1 * f[0] + 2 * f[1] + 4 * f[2]))
+    return scene.replace(payload_mask=payload_mask)
 
 
 @jax.jit

@@ -318,35 +318,45 @@ def tile_perm_padded(v, *, axes: tuple, s0: int, s1: int):
     N = v.shape[0]
     iota = jnp.arange(N, dtype=jnp.int32)
 
-    def sort_perm(key):
-        _, perm = jax.lax.sort((key, iota), num_keys=1, is_stable=True)
-        return perm
-
+    # The later-pass sort keys ride through the earlier sorts as variadic
+    # payload operands: a (cap,) jnp.take by the running permutation is a
+    # row-latency-bound gather (~12 ms/1M rows on v5e) while sort payload
+    # columns move at bandwidth — carrying them cut the 1M-tri tile perm
+    # from ~75 ms to ~sorts-only (tools/profile_build2.py).
     # Pass 0: strips along the dominant axis; pads last globally.
     key0 = jnp.where(real, q[:, axes[0]], jnp.int32(1 << 24))
-    perm = sort_perm(key0)
+    q1 = jnp.where(real, q[:, axes[1]], jnp.int32(65536))
+    q2 = jnp.where(real, q[:, axes[2]], jnp.int32(65536))
+    _, q1s, q2s, perm = jax.lax.sort((key0, q1, q2, iota), num_keys=1,
+                                     is_stable=True)
     # Pass 1: slabs along the second axis inside each strip.
     strip = iota // (N // s0)
-    realp = jnp.take(real, perm)
-    q1 = jnp.where(realp, jnp.take(q[:, axes[1]], perm), jnp.int32(65536))
-    perm = jnp.take(perm, sort_perm(strip * 65537 + q1))
+    _, q2ss, perm = jax.lax.sort((strip * 65537 + q1s, q2s, perm),
+                                 num_keys=1, is_stable=True)
     # Pass 2: order along the third axis inside each slab.
     slab = iota // (N // (s0 * s1))
-    realp = jnp.take(real, perm)
-    q2 = jnp.where(realp, jnp.take(q[:, axes[2]], perm), jnp.int32(65536))
-    perm = jnp.take(perm, sort_perm(slab * 65537 + q2))
+    _, perm = jax.lax.sort((slab * 65537 + q2ss, perm), num_keys=1,
+                           is_stable=True)
     return perm
 
 
-def tile_sort_axes(vertices, capacity: int, cluster_size: int):
+@jax.jit
+def _bounds_lohi(vertices):
+    vr = vertices.reshape(-1, 3).astype(jnp.float32)
+    return jnp.concatenate([jnp.min(vr, 0), jnp.max(vr, 0)])
+
+
+def tile_sort_axes(vertices, capacity: int, cluster_size: int, lohi=None):
     """Host-side strip/slab shape choice for the tile sort: greedily
     halve the currently-longest scene extent. One small host sync for
-    the 6 scene-bound floats (vertices can be tens of MB and host
-    transfers through the tunneled backend cost ~10 ms/MB). Returns
-    (axes, s0, s1) for tile_perm_padded."""
+    the 6 scene-bound floats (jitted reduction — eager min/max chains
+    through the tunneled backend cost >1 s at 1M tris); callers that
+    already know the bounds pass ``lohi`` to skip the sync entirely.
+    Returns (axes, s0, s1) for tile_perm_padded."""
     import numpy as np
-    vr = jnp.asarray(vertices, jnp.float32).reshape(-1, 3)
-    lohi = np.asarray(jnp.concatenate([jnp.min(vr, 0), jnp.max(vr, 0)]))
+    if lohi is None:
+        lohi = np.asarray(_bounds_lohi(jnp.asarray(vertices, jnp.float32)))
+    lohi = np.asarray(lohi)
     lo, hi = lohi[:3], lohi[3:]
     ext = np.maximum(hi - lo, 1e-12)
     K = max(capacity // cluster_size, 1)
