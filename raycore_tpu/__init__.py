@@ -82,6 +82,8 @@ from .render.wavefront import (WavefrontRenderer, RenderConfig, Materials,
                                PointLights, Camera, render_step)
 from .render.scenes import example_scene, particle_scene
 from .render.pathtracer import PTConfig, trace_paths
+from .render.debug_viz import (RayIntersectionResult, trace_rays,
+                               scene_preview, ray_plot, save_ppm, save_png)
 from .utils.soa import (soa_get, soa_set, similar_soa, for_unrolled,
                         map_unrolled, reduce_unrolled, sum_unrolled,
                         switch_apply)

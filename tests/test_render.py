@@ -93,3 +93,35 @@ def test_export_surface():
     ]
     missing = [n for n in names if not hasattr(rc, n)]
     assert not missing, f"missing exports: {missing}"
+
+
+def test_ray_plot_recipe(room, tmp_path):
+    """Software RayPlot recipe (reference ext/RaycoreMakieExt.jl:105-202):
+    geometry + hit/miss arrows + markers + labels, depth-tested."""
+    scene, mats, lights, cam = room
+    lo, hi = (np.asarray(v) for v in scene.root_aabb)
+    c = (lo + hi) / 2
+    o = np.tile(c + np.array([0, 0, hi[2] - lo[2] + 1.0]), (3, 1))
+    d = np.array([[0, 0, -1.0],          # hits the scene from above
+                  [0, 0, 1.0],           # escapes upward (miss)
+                  [0.2, 0.1, -1.0]])
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    rays = rc.Ray.create(o=jnp.asarray(o, jnp.float32),
+                         d=jnp.asarray(d, jnp.float32))
+    res = rc.trace_rays(scene, rays)
+    hits = np.asarray(res.hits)
+    assert hits[0] and not hits[1]
+    img = rc.ray_plot(scene, res, width=160, height=120, show_labels=True)
+    assert img.shape == (120, 160, 3) and np.isfinite(img).all()
+    assert (img >= 0).all() and (img <= 1).all()
+    # The plot must differ from the empty background and from a
+    # geometry-only render (rays/markers actually drawn).
+    geo_only = rc.ray_plot(scene, rc.RayIntersectionResult(
+        origins=res.origins[:0], directions=res.directions[:0],
+        hits=res.hits[:0], points=res.points[:0], t=res.t[:0],
+        instance_idx=res.instance_idx[:0], metadata=res.metadata[:0]),
+        width=160, height=120)
+    assert img.std() > 0.01
+    assert np.abs(img - geo_only).max() > 0.2
+    rc.save_png(img, str(tmp_path / "rayplot.png"))
+    assert (tmp_path / "rayplot.png").stat().st_size > 100
