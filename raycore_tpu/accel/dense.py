@@ -69,12 +69,18 @@ class DenseScene:
                                # hot rows carry the original index instead
                                # (a full-SoA permute is a ~100 ms
                                # row-latency-bound gather at 1M tris)
-    prims_hot: jnp.ndarray     # (K*C, 11) f32, SORTED cluster-major:
-                               # [v(9), metadata-bits, original-index-bits]
+    prims_hot: jnp.ndarray     # (K*C, 11) INT32, SORTED cluster-major:
+                               # [vertex-f32-bits(9), metadata, orig index]
                                # — everything the exact-MT recompute and
                                # the payload/identity lookups need in one
                                # narrow gather; cold fields come from
-                               # ``prims[orig]``, gated by payload_mask
+                               # ``prims[orig]``, gated by payload_mask.
+                               # int32 end-to-end like the node matrices:
+                               # small ints bitcast INTO f32 are denormals
+                               # and TPU f32 ops flush denormals to zero
+                               # (caught on-device: every hit reported
+                               # prim 0); float bits riding in int32 are
+                               # safe in gathers/selects.
     root_aabb: jnp.ndarray     # (2, 3)
     n_prims: int = struct.field(pytree_node=False)
     cluster_size: int = struct.field(pytree_node=False)
@@ -95,18 +101,18 @@ class DenseScene:
 
 
 def pack_prims_hot(tris: Triangle, orig_idx=None) -> jnp.ndarray:
-    """(T, 11) hot rows [vertices(9), metadata-bits, original-index-bits]
+    """(T, 11) int32 hot rows [vertex-f32-bits(9), metadata, orig index]
     — everything the exact-MT recompute and identity lookups need in one
     narrow gather. ``orig_idx`` defaults to row order (identity), for
     callers whose ``prims`` are already in table order."""
     T = tris.vertices.shape[0]
-    from .types import i32_as_f32
+    from .types import f32_as_i32
     if orig_idx is None:
         orig_idx = jnp.arange(T, dtype=jnp.int32)
     return jnp.concatenate([
-        tris.vertices.reshape(T, 9),
-        i32_as_f32(tris.metadata.astype(jnp.int32))[:, None],
-        i32_as_f32(orig_idx.astype(jnp.int32))[:, None]], axis=1)
+        f32_as_i32(tris.vertices.reshape(T, 9)),
+        tris.metadata.astype(jnp.int32)[:, None],
+        orig_idx.astype(jnp.int32)[:, None]], axis=1)
 
 
 def gather_hit_payload(scene: "DenseScene", idx, hit):
@@ -116,13 +122,13 @@ def gather_hit_payload(scene: "DenseScene", idx, hit):
     with gathered columns). ``idx`` is in sorted (table) space; cold
     fields live in original order and are fetched via the hot row's
     original-index column. Misses return original index -1."""
-    from .types import f32_as_i32
+    from .types import i32_as_f32
     R = idx.shape[0]
-    rows = jnp.take(scene.prims_hot, idx, axis=0)          # (R, 11)
-    rows = jnp.where(hit[:, None], rows, 0.0)
-    meta = jnp.where(hit, f32_as_i32(rows[:, 9]), 0).astype(jnp.uint32)
+    rows = jnp.take(scene.prims_hot, idx, axis=0)          # (R, 11) int32
+    rows = jnp.where(hit[:, None], rows, 0)    # int select: no FTZ hazard
+    meta = jnp.where(hit, rows[:, 9], 0).astype(jnp.uint32)
     n_cold = scene.prims.vertices.shape[0]
-    orig = jnp.where(hit, f32_as_i32(rows[:, 10]), -1)
+    orig = jnp.where(hit, rows[:, 10], -1)
     cidx = jnp.clip(orig, 0, n_cold - 1)
 
     def cold(field, ncols, bit):
@@ -132,7 +138,7 @@ def gather_hit_payload(scene: "DenseScene", idx, hit):
         return jnp.zeros((R, ncols), jnp.float32)
 
     tri = Triangle(
-        vertices=rows[:, 0:9].reshape(R, 3, 3),
+        vertices=i32_as_f32(rows[:, 0:9]).reshape(R, 3, 3),
         normals=cold(scene.prims.normals, 9, 1).reshape(R, 3, 3),
         tangents=cold(scene.prims.tangents, 9, 2).reshape(R, 3, 3),
         uv=cold(scene.prims.uv, 6, 4).reshape(R, 3, 2),
@@ -184,13 +190,14 @@ def ray_features(o, d):
 
 
 def _dense_tables_from_hot(hot, cluster_size: int, sub_chunks: int):
-    """Feature blocks + bounds from SORTED hot rows (trace-time helper)."""
+    """Feature blocks + bounds from SORTED int32 hot rows."""
+    from .types import i32_as_f32
     T = hot.shape[0]
     C = cluster_size
     SUB = sub_chunks
     CS = C // SUB
     K = T // C
-    v = hot[:, :9].reshape(T, 3, 3)
+    v = i32_as_f32(hot[:, :9]).reshape(T, 3, 3)
     psi = _featurize_tris(v[:, 0], v[:, 1], v[:, 2])          # (T, 16, 4)
     # Sub-chunk-major blocks: per sub s, columns
     # [det x CS | udet x CS | vdet x CS | tdet x CS] contiguous.
@@ -228,8 +235,9 @@ def _build_dense(sorted_tris: Triangle, cluster_size: int,
 
 @partial(jax.jit, static_argnames=("cap",))
 def _pack_hot_padded(v, meta, cap: int):
-    """(cap, 11) ORIGINAL-order hot rows, vertex sentinels on padding."""
-    from .types import PAD_COORD, i32_as_f32
+    """(cap, 11) int32 ORIGINAL-order hot rows, vertex sentinels on
+    padding (float bits ride in int32 — see DenseScene.prims_hot)."""
+    from .types import PAD_COORD, f32_as_i32
     n = v.shape[0]
     v9 = jnp.concatenate([
         jnp.asarray(v, jnp.float32).reshape(n, 9),
@@ -237,8 +245,8 @@ def _pack_hot_padded(v, meta, cap: int):
     mi = jnp.concatenate([jnp.asarray(meta).astype(jnp.int32),
                           jnp.zeros((cap - n,), jnp.int32)])
     idx = jnp.arange(cap, dtype=jnp.int32)
-    return jnp.concatenate([v9, i32_as_f32(mi)[:, None],
-                            i32_as_f32(idx)[:, None]], axis=1)
+    return jnp.concatenate([f32_as_i32(v9), mi[:, None],
+                            idx[:, None]], axis=1)
 
 
 @partial(jax.jit, static_argnames=("cluster_size", "sub_chunks", "layout",
@@ -252,8 +260,9 @@ def _build_dense_perm(hot0, *, cluster_size: int, sub_chunks: int,
     permuted at all (fetched at finalize via the original-index
     column)."""
     from .lbvh import morton_perm_padded, tile_perm_padded
+    from .types import i32_as_f32
     cap = hot0.shape[0]
-    vp = hot0[:, :9].reshape(cap, 3, 3)
+    vp = i32_as_f32(hot0[:, :9]).reshape(cap, 3, 3)
     if layout == "tiles":
         perm = tile_perm_padded(vp, axes=axes, s0=s0, s1=s1)
     else:

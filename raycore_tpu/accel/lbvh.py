@@ -236,23 +236,25 @@ def permute_triangles(tris: Triangle, perm):
 
     TPU gathers are row-latency bound (~12 ns/row regardless of width up
     to ~100B — tools/ probes), so five per-field takes cost ~5x one take
-    of the concatenated (T, 34) matrix. Metadata rides as its f32 bit
-    pattern (bitcast, not a value cast: ids above 2^24 must survive)."""
+    of the concatenated (T, 34) matrix. The matrix is int32 with float
+    bits riding as bit patterns: metadata ints bitcast INTO f32 would be
+    denormals, and TPU f32 ops flush denormals to zero (the int32
+    node-matrix discipline, docs/performance.md)."""
     from .types import f32_as_i32, i32_as_f32
     T = tris.vertices.shape[0]
     flat = jnp.concatenate([
-        tris.vertices.reshape(T, 9),
-        tris.normals.reshape(T, 9),
-        tris.tangents.reshape(T, 9),
-        tris.uv.reshape(T, 6),
-        i32_as_f32(tris.metadata.astype(jnp.int32))[:, None]], axis=1)
+        f32_as_i32(tris.vertices.reshape(T, 9)),
+        f32_as_i32(tris.normals.reshape(T, 9)),
+        f32_as_i32(tris.tangents.reshape(T, 9)),
+        f32_as_i32(tris.uv.reshape(T, 6)),
+        tris.metadata.astype(jnp.int32)[:, None]], axis=1)
     g = jnp.take(flat, perm, axis=0)
     return Triangle(
-        vertices=g[:, 0:9].reshape(T, 3, 3),
-        normals=g[:, 9:18].reshape(T, 3, 3),
-        tangents=g[:, 18:27].reshape(T, 3, 3),
-        uv=g[:, 27:33].reshape(T, 3, 2),
-        metadata=f32_as_i32(g[:, 33]).astype(jnp.uint32))
+        vertices=i32_as_f32(g[:, 0:9]).reshape(T, 3, 3),
+        normals=i32_as_f32(g[:, 9:18]).reshape(T, 3, 3),
+        tangents=i32_as_f32(g[:, 18:27]).reshape(T, 3, 3),
+        uv=i32_as_f32(g[:, 27:33]).reshape(T, 3, 2),
+        metadata=g[:, 33].astype(jnp.uint32))
 
 
 @jax.jit

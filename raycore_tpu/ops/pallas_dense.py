@@ -41,9 +41,12 @@ _VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 # 3-pass HIGH tier). RAYCORE_MM_PRECISION=default switches to 1-pass bf16
 # for timing experiments only — it breaks hit accuracy.
 import os as _os
-_MATMUL_PRECISION = (jax.lax.Precision.DEFAULT
-                     if _os.environ.get("RAYCORE_MM_PRECISION") == "default"
-                     else jax.lax.Precision.HIGHEST)
+_MATMUL_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,   # 1-pass bf16 (experiment only:
+                                            # breaks edge-eps exactness)
+    "high": jax.lax.Precision.HIGH,         # 3-pass bf16x3
+}.get(_os.environ.get("RAYCORE_MM_PRECISION", ""),
+      jax.lax.Precision.HIGHEST)            # 6-pass, fp32-exact (default)
 
 # --- packed best keys -------------------------------------------------------
 # The kernel carries ONE int32 per ray: the bit pattern of the best t (a
@@ -370,9 +373,8 @@ def _occl_finalize(scene, tids, cids, phi_p, tmin_p, tmax_p, *, TILE: int,
     R = pair.shape[0]
     # Translate the table-space winner to its original index (one tiny
     # R-row gather of the hot original-index column).
-    from ..accel.types import f32_as_i32
-    bits = jnp.take(scene.prims_hot[:, 10], jnp.clip(pair, 0, None))
-    orig = jnp.where(hit, f32_as_i32(bits), -1)
+    ids = jnp.take(scene.prims_hot[:, 10], jnp.clip(pair, 0, None))
+    orig = jnp.where(hit, ids, -1)
     z3 = jnp.zeros((R, 3, 3), jnp.float32)
     tri = Triangle(vertices=z3, normals=z3, tangents=z3,
                    uv=jnp.zeros((R, 3, 2), jnp.float32),

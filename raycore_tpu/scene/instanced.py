@@ -35,9 +35,11 @@ class DenseInstancedScene:
     cluster_max: jnp.ndarray   # (K_total, 3)
     prims: Triangle            # concatenated per-BLAS local prims,
                                # ORIGINAL (unsorted, unpadded) order
-    prims_hot: jnp.ndarray     # (K_total*C, 11) sorted hot rows; col 10
-                               # holds the GLOBAL original index into
-                               # ``prims`` (per-BLAS bases applied)
+    prims_hot: jnp.ndarray     # (K_total*C, 11) int32 sorted hot rows
+                               # (vertex f32 bits + metadata + index, see
+                               # DenseScene.prims_hot); col 10 holds the
+                               # GLOBAL original index into ``prims``
+                               # (per-BLAS bases applied)
     # Per instance (refreshed by refresh_instances, no geometry rebuild).
     inst_inv: jnp.ndarray      # (I, 3, 4) world -> local
     inst_blas: jnp.ndarray     # (I,) int32 blas slot (dense, deduped)
@@ -113,16 +115,14 @@ def bake_instanced(mgr, cluster_size: int = 128,
         lambda *xs: jnp.concatenate(xs, axis=0), *[d.prims for d in per])
     # Rebase each BLAS's hot original-index column (local, possibly
     # pointing at padding) to the global row in the concatenated prims.
-    from ..accel.types import f32_as_i32, i32_as_f32
     prim_base = np.cumsum(
         [0] + [d.prims.vertices.shape[0] for d in per])[:-1]
     hot_parts = []
     for base, d in zip(prim_base, per):
         n_local = d.prims.vertices.shape[0]
         h = d.prims_hot
-        orig_l = jnp.clip(f32_as_i32(h[:, 10]), 0, n_local - 1)
-        hot_parts.append(h.at[:, 10].set(
-            i32_as_f32(orig_l + jnp.int32(base))))
+        orig_l = jnp.clip(h[:, 10], 0, n_local - 1)
+        hot_parts.append(h.at[:, 10].set(orig_l + jnp.int32(base)))
     prims_hot = jnp.concatenate(hot_parts, axis=0)
 
     tj = jnp.asarray(transforms)

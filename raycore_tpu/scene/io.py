@@ -94,10 +94,14 @@ def load_scene(path: str):
         s = z["statics"]
         if "prims_hot" in z:
             hot = jnp.asarray(z["prims_hot"])
+            if jnp.issubdtype(hot.dtype, jnp.floating):
+                # Legacy f32 rows: vertex floats + bitcast int columns.
+                # The new int32 layout IS the old one's bit pattern.
+                from ..accel.types import f32_as_i32
+                hot = f32_as_i32(hot)
             if hot.shape[1] == 10:   # legacy 10-col rows: prims were in
                 # table order, so the original index is the row index
-                from ..accel.types import i32_as_f32
-                idx = i32_as_f32(jnp.arange(hot.shape[0], jnp.int32))
+                idx = jnp.arange(hot.shape[0], dtype=jnp.int32)
                 hot = jnp.concatenate([hot, idx[:, None]], axis=1)
         else:                        # legacy format: slice the packed rows
             from ..accel.dense import pack_prims_hot

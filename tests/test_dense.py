@@ -153,3 +153,21 @@ def test_bake_dense_matches_tlas():
     np.testing.assert_array_equal(np.asarray(rt.hit), np.asarray(rp.hit))
     np.testing.assert_array_equal(np.asarray(rt.instance_idx)[m],
                                   np.asarray(rp.instance_idx)[m])
+
+
+def test_prims_hot_is_int32():
+    """Layout discipline: prims_hot must be int32 end-to-end. Small ints
+    bitcast into f32 are denormals, and TPU f32 ops flush denormals to
+    zero — an f32 hot matrix silently zeroed every hit's prim index and
+    metadata on device (CPU tests can't catch the flush itself, so pin
+    the dtype)."""
+    mesh = rc.displaced_grid_mesh(n=16, extent=2.0, amplitude=0.3)
+    scene = build_dense(mesh, cluster_size=64)
+    assert scene.prims_hot.dtype == jnp.int32
+    n = mesh.vertices.shape[0]
+    orig = np.asarray(scene.prims_hot[:, 10])
+    real = orig[orig < n]
+    # The original-index column is a permutation of 0..n-1 (+ padding).
+    assert len(np.unique(real)) == n
+    meta = np.asarray(scene.prims_hot[:, 9])
+    assert meta[orig < n].max() >= 0

@@ -50,6 +50,11 @@ def check(tag, rays):
           flush=True)
     if (~pm).any():
         assert np.max(dd) < 2e-6, f"{tag}: non-tie winner mismatch"
+    # Ulp-level t ties legitimately flip a few winners, but the bulk must
+    # match exactly. (A systematic identity bug — e.g. the TPU-denormal
+    # flush of f32-bitcast int columns — once slipped through as "all
+    # ties": every prim differed while every t agreed.)
+    assert pm.mean() >= 0.7, f"{tag}: prim agreement {pm.mean():.3f}"
 
 
 check("incoherent", rays)
