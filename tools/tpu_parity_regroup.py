@@ -14,14 +14,23 @@ import jax.numpy as jnp
 import raycore_tpu as rc
 from raycore_tpu.accel.brute import closest_hit_brute
 from raycore_tpu.accel.dense import build_dense
-from raycore_tpu.ops.pallas_regroup import closest_hit_regrouped
+from raycore_tpu.ops.pallas_regroup import (closest_hit_packed,
+                                            closest_hit_regrouped)
 
 n = int(os.environ.get("PARITY_MESH_N", 224))            # ~100K tris
 R = int(os.environ.get("PARITY_RAYS", 65536))
+ENGINE = os.environ.get("PARITY_ENGINE", "regroup")      # regroup | packed
 mesh = rc.displaced_grid_mesh(n=n, extent=2.0, amplitude=0.35)
-scene = build_dense(mesh, cluster_size=128)
-print(f"tris={mesh.vertices.shape[0]} K={scene.n_clusters} rays={R}",
-      flush=True)
+if ENGINE == "packed":
+    scene = build_dense(mesh, cluster_size=128, sub_chunks=4)
+    query = lambda rays: closest_hit_packed(scene, rays, tile=2048)
+else:
+    scene = build_dense(mesh, cluster_size=128)
+    query = lambda rays: closest_hit_regrouped(scene, rays, tile=2048,
+                                               passes=1)
+print(f"engine={ENGINE} tris={mesh.vertices.shape[0]} K={scene.n_clusters} "
+      f"rays={R} mm_precision="
+      f"{os.environ.get('RAYCORE_MM_PRECISION', 'highest')}", flush=True)
 
 rng = np.random.default_rng(0)
 o = rng.uniform(-1, 1, (R, 3)).astype(np.float32)
@@ -35,7 +44,7 @@ rays = rc.Ray.create(o=jnp.asarray(o), d=jnp.asarray(d))
 
 def check(tag, rays):
     ref = closest_hit_brute(scene.prims, rays, ray_chunk=2048)
-    got = closest_hit_regrouped(scene, rays, tile=2048, passes=1)
+    got = query(rays)
     rh, gh = np.asarray(ref.hit), np.asarray(got.hit)
     assert np.array_equal(rh, gh), f"{tag}: hit mismatch {np.sum(rh != gh)}"
     both = rh
