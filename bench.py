@@ -129,7 +129,7 @@ def main():
         spb_sub = int(os.environ.get("RAYCORE_BENCH_SPBSUB", 2))
         run = lambda: closest_hit_packed(scene, rays, tile=tile,
                                          subgroup=G, spb_sub=spb_sub,
-                                         packs=packs)
+                                         packs=packs, with_checksum=True)
     elif engine == "regroup":
         from raycore_tpu.ops.pallas_regroup import closest_hit_regrouped
         G = int(os.environ.get("RAYCORE_BENCH_SUBGROUP", 32))

@@ -176,3 +176,25 @@ def test_regroup_with_checksum_warm_path():
     np.testing.assert_allclose(cs1, np.sum(flat_t[::257], dtype=np.float32),
                                rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(res0.t), np.asarray(res1.t))
+
+
+def test_packed_with_checksum_warm_path():
+    """Packed engine fused warm path: cold call seeds the capacity cache
+    (checksum None), the second call takes the one-dispatch path and
+    returns the host checksum; results identical both ways."""
+    from raycore_tpu.ops.pallas_regroup import closest_hit_packed
+    scene, rays = _scene_and_rays_sub(R=4096, coherent=True)
+    res0, cs0 = closest_hit_packed(scene, rays, tile=512,
+                                   with_checksum=True)
+    assert cs0 is None
+    res1, cs1 = closest_hit_packed(scene, rays, tile=512,
+                                   with_checksum=True)
+    assert cs1 is not None
+    flat_t = np.asarray(res1.t).reshape(-1)
+    np.testing.assert_allclose(cs1, np.sum(flat_t[::257], dtype=np.float32),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(res0.t), np.asarray(res1.t))
+    np.testing.assert_array_equal(np.asarray(res0.prim_idx),
+                                  np.asarray(res1.prim_idx))
+    ref = closest_hit_brute(scene.prims, rays)
+    _check(ref, res1)
