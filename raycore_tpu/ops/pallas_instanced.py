@@ -74,10 +74,8 @@ def _bundle_entry_vs_bounds(olo, ohi, ilo, ihi, tlo, thi, bmin, bmax):
     return jnp.where(entry <= exit_, entry, jnp.inf)
 
 
-@partial(jax.jit, static_argnames=("TILE", "G", "SPB", "P_cap", "Q_cap",
-                                   "interpret"))
-def _stage1_inst(scene, o, d, t_min, t_max, *, TILE: int, G: int, SPB: int,
-                 P_cap: int, Q_cap: int, interpret: bool):
+def _stage1_inst_core(scene, o, d, t_min, t_max, TILE, G, SPB, P_cap,
+                      Q_cap, interpret):
     C = scene.cluster_size
     S = scene.max_clusters_per_blas
     K_total = scene.n_clusters
@@ -161,9 +159,35 @@ def _stage1_inst(scene, o, d, t_min, t_max, *, TILE: int, G: int, SPB: int,
     return block_cid, block_subs, tbl, qsub, qinst, totals
 
 
-@partial(jax.jit, static_argnames=("G", "SPB", "nb", "R0", "interpret"))
-def _stage2_inst(scene, block_cid, block_subs, tbl, qsub, qinst, o, d, *,
-                 G: int, SPB: int, nb: int, R0: int, interpret: bool):
+@partial(jax.jit, static_argnames=("TILE", "G", "SPB", "P_cap", "Q_cap",
+                                   "interpret"))
+def _stage1_inst(scene, o, d, t_min, t_max, *, TILE: int, G: int, SPB: int,
+                 P_cap: int, Q_cap: int, interpret: bool):
+    return _stage1_inst_core(scene, o, d, t_min, t_max, TILE, G, SPB,
+                             P_cap, Q_cap, interpret)
+
+
+@partial(jax.jit, static_argnames=("TILE", "G", "SPB", "P_cap", "Q_cap",
+                                   "nb", "R0", "interpret"))
+def _fused_query_inst(scene, o, d, t_min, t_max, *, TILE: int, G: int,
+                      SPB: int, P_cap: int, Q_cap: int, nb: int, R0: int,
+                      interpret: bool):
+    """One-dispatch warm path (same contract as pallas_regroup's
+    _fused_query): stage1 + stage2 with predicted capacities, totals
+    validated post-hoc by the caller; the readback carries a strided
+    checksum of result.t as the honest completion barrier."""
+    out = _stage1_inst_core(scene, o, d, t_min, t_max, TILE, G, SPB,
+                            P_cap, Q_cap, interpret)
+    block_cid, block_subs, tbl, qsub, qinst, totals = out
+    res = _stage2_inst_core(scene, block_cid, block_subs, tbl, qsub, qinst,
+                            o, d, G, SPB, nb, R0, interpret)
+    csum = jnp.sum(res.t[::257], dtype=jnp.float32)
+    return res, jnp.concatenate(
+        [totals, jax.lax.bitcast_convert_type(csum, jnp.int32)[None]])
+
+
+def _stage2_inst_core(scene, block_cid, block_subs, tbl, qsub, qinst, o, d,
+                      G, SPB, nb, R0, interpret):
     C = scene.cluster_size
     R_pad = (tbl.shape[0] - 1)  # unused; rays counted via qsub domain
     n_sub_dummy = int(o.shape[0] // G)  # o here is the PADDED flat rays
@@ -198,6 +222,13 @@ def _stage2_inst(scene, block_cid, block_subs, tbl, qsub, qinst, o, d, *,
     o_l = _apply_mat3(inv[:, :, :3], o[:R0]) + inv[:, :, 3]
     d_l = _apply_mat3(inv[:, :, :3], d[:R0])
     return _finalize_local(scene, prim, inst, t, o_l, d_l)
+
+
+@partial(jax.jit, static_argnames=("G", "SPB", "nb", "R0", "interpret"))
+def _stage2_inst(scene, block_cid, block_subs, tbl, qsub, qinst, o, d, *,
+                 G: int, SPB: int, nb: int, R0: int, interpret: bool):
+    return _stage2_inst_core(scene, block_cid, block_subs, tbl, qsub,
+                             qinst, o, d, G, SPB, nb, R0, interpret)
 
 
 def _finalize_local(scene, prim, inst, t_approx, o_l, d_l):
@@ -244,14 +275,14 @@ def _cap_get(scene, ck):
     return ent
 
 
-def _cap_put(scene, ck, p, q):
+def _cap_put(scene, ck, p, q, nb=0):
     try:
         ref = _weakref.ref(scene.tri_feats)
     except TypeError:
         ref = None
     while len(_CAP_CACHE) >= _CAP_CACHE_MAX:
         _CAP_CACHE.pop(next(iter(_CAP_CACHE)))
-    _CAP_CACHE[ck] = dict(p=p, q=q, ref=ref)
+    _CAP_CACHE[ck] = dict(p=p, q=q, nb=nb, ref=ref)
 
 
 def _next_pow2(n: int) -> int:
@@ -260,10 +291,18 @@ def _next_pow2(n: int) -> int:
 
 def closest_hit_instanced(scene, rays, *, tile: int = 2048,
                           subgroup: int = 32, spb: int = 16,
-                          pairs_per_tile: int = 64):
+                          pairs_per_tile: int = 64,
+                          with_checksum: bool = False):
     """Exact closest hit over a DenseInstancedScene. One host sync reads
     the true (coarse, pair, block) counts; capacities are pow2-bucketed
-    and retried on overflow, so results are never truncated."""
+    and retried on overflow, so results are never truncated. Repeat
+    queries at a cached (scene, shape) take a ONE-dispatch fused path
+    with predicted capacities, validated post-hoc (fallback on a miss).
+
+    with_checksum=True returns (result, checksum): a HOST float strided
+    sum of result.t riding the warm path's totals readback (None when
+    the fused path was not taken) — the same honest completion barrier
+    contract as closest_hit_regrouped."""
     interpret = jax.default_backend() != "tpu"
     batch = rays.batch_shape
     flat = lambda a: a.reshape((-1,) + a.shape[len(batch):])
@@ -294,6 +333,32 @@ def closest_hit_instanced(scene, rays, *, tile: int = 2048,
         P_cap = min(max(4096, _next_pow2(int(cached["p"] * 1.2))), hard_p)
         Q_cap = min(max(4096, _next_pow2(int(cached["q"] * 1.2))), hard_q)
 
+    reshape_out = lambda res: jax.tree_util.tree_map(
+        lambda a: a.reshape(batch + a.shape[1:]), res)
+
+    if cached is not None and cached.get("nb", 0) >= 1:
+        # Warm path: ONE dispatch with predicted capacities + block grid.
+        S = scene.max_clusters_per_blas
+        B_cap = Q_cap * S // SPB + scene.n_clusters + 1
+        nb_pred = min(cached["nb"], B_cap)
+        res, totals = _fused_query_inst(
+            scene, o, d, t_min, t_max, TILE=TILE, G=G, SPB=SPB,
+            P_cap=P_cap, Q_cap=Q_cap, nb=nb_pred, R0=R0,
+            interpret=interpret)
+        import numpy as _np
+        tarr = _np.asarray(totals)
+        coarse, q_total, total = (int(x) for x in tarr[:3])
+        if coarse <= P_cap and q_total <= Q_cap and total <= nb_pred:
+            # Sticky-max: shrinking workloads must not move to smaller
+            # capacity buckets (each bucket is a fresh remote compile).
+            _cap_put(scene, ck, max(cached["p"], coarse),
+                     max(cached["q"], q_total),
+                     nb=max(cached["nb"], nb_pred))
+            if with_checksum:
+                return reshape_out(res), float(
+                    tarr[3:4].view(_np.float32)[0])
+            return reshape_out(res)
+
     while True:
         block_cid, block_subs, tbl, qsub, qinst, totals = _stage1_inst(
             scene, o, d, t_min, t_max, TILE=TILE, G=G, SPB=SPB,
@@ -312,15 +377,15 @@ def closest_hit_instanced(scene, rays, *, tile: int = 2048,
             P_cap = min(2 * P_cap, hard_p)
         if not ok_q:
             Q_cap = min(2 * Q_cap, hard_q)
-    _cap_put(scene, ck, max(coarse, (cached or {}).get("p", 0)),
-             max(q_total, (cached or {}).get("q", 0)))
     nb = 1 << max(9, (max(total, 1) - 1).bit_length())
     nb = min(nb, block_cid.shape[0])
+    _cap_put(scene, ck, max(coarse, (cached or {}).get("p", 0)),
+             max(q_total, (cached or {}).get("q", 0)),
+             nb=max(nb, (cached or {}).get("nb", 0)))
     res = _stage2_inst(scene, block_cid, block_subs, tbl, qsub, qinst,
                        o, d, G=G, SPB=SPB, nb=nb, R0=R0,
                        interpret=interpret)
-    return jax.tree_util.tree_map(
-        lambda a: a.reshape(batch + a.shape[1:]), res)
+    return (reshape_out(res), None) if with_checksum else reshape_out(res)
 
 
 def any_hit_instanced(scene, rays, **kw):

@@ -135,3 +135,24 @@ def test_instanced_shared_blas_many_instances(rng):
     ref = trav.closest_hit(tlas, rays, tile_size=2048)
     got = closest_hit_instanced(ds, rays, tile=512, subgroup=8)
     _check(ref, got)
+
+
+def test_instanced_with_checksum_warm_path(rng):
+    """Fused warm path: cold call seeds the capacity cache (checksum
+    None), the second call takes the one-dispatch path and returns the
+    host checksum; results identical both ways."""
+    mgr, _ = _scene(rng)
+    ds = bake_instanced(mgr, cluster_size=32)
+    rays = _rays(rng, n=1024)
+    res0, cs0 = closest_hit_instanced(ds, rays, tile=256, subgroup=8,
+                                      with_checksum=True)
+    assert cs0 is None
+    res1, cs1 = closest_hit_instanced(ds, rays, tile=256, subgroup=8,
+                                      with_checksum=True)
+    assert cs1 is not None
+    flat_t = np.asarray(res1.t).reshape(-1)
+    np.testing.assert_allclose(cs1, np.sum(flat_t[::257], dtype=np.float32),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(res0.t), np.asarray(res1.t))
+    np.testing.assert_array_equal(np.asarray(res0.instance_idx),
+                                  np.asarray(res1.instance_idx))

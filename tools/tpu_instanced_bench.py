@@ -82,8 +82,9 @@ def main():
             mgr.update_transform(h, tr)
         t1 = time.perf_counter()
         scene = refresh_instances(scene, mgr)
-        res = closest_hit_instanced(scene, rays)
-        float(probe(res.t))
+        res, csum = closest_hit_instanced(scene, rays, with_checksum=True)
+        if csum is None:            # cold/fallback: explicit barrier
+            float(probe(res.t))
         times.append(time.perf_counter() - t1)
     best = min(times)
     print(f"frame times (refresh + query, {n_rays} rays): "
