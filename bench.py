@@ -20,10 +20,43 @@ import time
 import numpy as np
 
 
+def _wait_for_backend():
+    """The tunneled TPU backend goes UNAVAILABLE for stretches of minutes
+    to hours; a bench run burned against a dead tunnel reports rc=1 and no
+    number. Probe availability in a SUBPROCESS (a failed in-process jax
+    backend init is sticky) and wait, bounded by RAYCORE_BENCH_WAIT_TPU
+    seconds, before the real run. On timeout, proceed and fail honestly."""
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return
+    import subprocess
+    budget = float(os.environ.get("RAYCORE_BENCH_WAIT_TPU", 1500))
+    interval = 120.0
+    deadline = time.time() + budget
+    probe_src = ("import jax, jax.numpy as jnp\n"
+                 "x = jnp.ones((8,128)) @ jnp.ones((128,8))\n"
+                 "assert float(x[0,0]) == 128.0\n")
+    while True:
+        try:
+            rc_ = subprocess.run([sys.executable, "-c", probe_src],
+                                 capture_output=True, timeout=300).returncode
+        except subprocess.TimeoutExpired:
+            rc_ = 1
+        if rc_ == 0:
+            return
+        if time.time() + interval > deadline:
+            print(json.dumps({"warn": "TPU probe still failing after wait; "
+                              "proceeding"}), file=sys.stderr)
+            return
+        print(json.dumps({"info": "TPU backend unavailable; waiting"}),
+              file=sys.stderr)
+        time.sleep(interval)
+
+
 def main():
     # Persistent compile cache: tunnel-side compiles run minutes for the
     # big configs; cache them across bench processes.
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+    _wait_for_backend()
     import jax
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         jax.config.update("jax_platforms", "cpu")

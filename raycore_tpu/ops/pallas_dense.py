@@ -511,6 +511,28 @@ def phase_a_entry_bounds(bounds_min, bounds_max, o, d, t_min, t_max,
     return entry[:n_tiles, :K]
 
 
+def compact_indices(flat, cap: int):
+    """Indices of the first ``cap`` True flags, in order, plus the true
+    count. Entries past the count are 0 (callers mask on ``arange < total``).
+
+    Two lowerings, RAYCORE_WORKLIST={argsort (default) | scatter}:
+    cumsum positions + one ordered scatter is O(N) bandwidth, vs the
+    stable argsort's full N-element sort (~25 ms at 16.8M elements,
+    docs/performance.md) — but XLA:TPU scatters can themselves lower to
+    sorts, so the default stays argsort until the scatter path is
+    measured faster on device (tools/run_evidence_r2e.sh)."""
+    N = flat.shape[0]
+    total = jnp.sum(flat.astype(jnp.int32))
+    if _os.environ.get("RAYCORE_WORKLIST", "argsort") == "argsort":
+        order = jnp.argsort(~flat, stable=True)
+        return order[:cap], total
+    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1     # in-order positions
+    idx = jnp.where(flat, pos, cap)                  # invalid -> dropped
+    sel = jnp.zeros((cap,), jnp.int32).at[idx].set(
+        jnp.arange(N, dtype=jnp.int32), mode="drop")
+    return sel, total
+
+
 def build_worklist(entry, max_pairs: int):
     """From the (n_tiles, K) conservative entry matrix, emit (tids, cids)
     for every finite-entry pair, sorted by tile (finite pairs first).
@@ -520,10 +542,7 @@ def build_worklist(entry, max_pairs: int):
     n_tiles, K = entry.shape
     finite = jnp.isfinite(entry)
     flat = finite.reshape(-1)
-    # Stable sort: finite pairs first, tile-major order preserved.
-    order = jnp.argsort(~flat, stable=True)
-    total = jnp.sum(flat.astype(jnp.int32))
-    sel = order[:max_pairs]
+    sel, total = compact_indices(flat, max_pairs)
     valid = jnp.arange(max_pairs) < total
     tids = jnp.where(valid, (sel // K).astype(jnp.int32), n_tiles)
     cids = jnp.where(valid, (sel % K).astype(jnp.int32), 0)

@@ -94,13 +94,12 @@ def _stage1_inst_core(scene, o, d, t_min, t_max, TILE, G, SPB, P_cap,
     stats = subgroup_stats(o, d, t_min, t_max, G)
     fine = refine_pairs(stats, tids, iids, scene.inst_aabb_min,
                         scene.inst_aabb_max, SPT, n_tiles)     # (P, SPT)
+    from .pallas_dense import compact_indices
     sub = (tids[:, None] * SPT
            + jnp.arange(SPT, dtype=jnp.int32)[None, :]).reshape(-1)
     inst = jnp.broadcast_to(iids[:, None], fine.shape).reshape(-1)
     valid = jnp.isfinite(fine).reshape(-1)
-    order = jnp.argsort(~valid, stable=True)
-    q_total = jnp.sum(valid.astype(jnp.int32))
-    sel = order[:Q_cap]
+    sel, q_total = compact_indices(valid, Q_cap)
     qvalid = jnp.arange(Q_cap) < q_total
     qsub = jnp.where(qvalid, jnp.take(sub, sel), n_sub)
     qinst = jnp.where(qvalid, jnp.take(inst, sel), 0)

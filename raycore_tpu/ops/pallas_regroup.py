@@ -586,13 +586,12 @@ def _stage1_packed_core(scene, o, d, t_min, t_max, TILE, G, SPB_sub,
                         scene.cluster_max, SPT, n_tiles)       # (P, SPT)
 
     # Compact valid (subgroup, cluster) pairs to Q_cap.
+    from .pallas_dense import compact_indices
     sub = (tids[:, None] * SPT
            + jnp.arange(SPT, dtype=jnp.int32)[None, :]).reshape(-1)
     cid = jnp.broadcast_to(cids[:, None], fine.shape).reshape(-1)
     valid = jnp.isfinite(fine).reshape(-1)
-    order = jnp.argsort(~valid, stable=True)
-    q_total = jnp.sum(valid.astype(jnp.int32))
-    sel = order[:Q_cap]
+    sel, q_total = compact_indices(valid, Q_cap)
     qvalid = jnp.arange(Q_cap) < q_total
     qsub = jnp.where(qvalid, jnp.take(sub, sel), n_sub)
     qcid = jnp.where(qvalid, jnp.take(cid, sel), 0)

@@ -31,6 +31,28 @@ def test_worklist_structure():
     assert np.all(np.diff(t) >= 0)
 
 
+@pytest.mark.parametrize("cap", [8, 64, 4096])
+def test_compact_indices_lowerings_agree(cap, monkeypatch):
+    """The argsort and cumsum+scatter lowerings of compact_indices must
+    produce identical in-order selections (incl. overflow truncation)."""
+    from raycore_tpu.ops.pallas_dense import compact_indices
+    rng = np.random.default_rng(7)
+    flat = jnp.asarray(rng.random(1000) < 0.13)
+    outs = {}
+    for mode in ("argsort", "scatter"):
+        monkeypatch.setenv("RAYCORE_WORKLIST", mode)
+        sel, total = compact_indices(flat, cap)
+        outs[mode] = (np.asarray(sel), int(total))
+    n_true = int(np.asarray(flat).sum())
+    for mode, (sel, total) in outs.items():
+        assert total == n_true, mode
+        k = min(cap, n_true)
+        # First k entries are the first k True positions, in order.
+        np.testing.assert_array_equal(
+            sel[:k], np.flatnonzero(np.asarray(flat))[:k], err_msg=mode)
+    # Beyond the count the two lowerings may differ; callers mask there.
+
+
 def test_pallas_worklist_matches_brute(scene):
     xs = jnp.linspace(-0.9, 0.9, 32)
     X, Y = jnp.meshgrid(xs, xs, indexing="ij")
