@@ -48,7 +48,12 @@ from .accel.brute import HitResult, closest_hit_brute, any_hit_brute
 from .accel.types import (BLAS, Instances, StaticTLAS, INVALID_NODE,
                           TOP_LEVEL_SENTINEL)
 from .accel.lbvh import build_blas, karras_topology, refit_aabbs
-from .accel.traversal import closest_hit, any_hit
+# Generic query entry points: dispatch on the scene form (StaticTLAS /
+# DenseScene / DenseInstancedScene) — the reference's multiple dispatch
+# over AbstractAccel. The traversal-engine functions stay importable as
+# raycore_tpu.accel.traversal.closest_hit/any_hit.
+from .accel.dispatch import (scene_closest_hit as closest_hit,
+                             scene_any_hit as any_hit)
 from .accel.wide import (BLAS4, TLAS4, build_blas4, collapse_blas,
                          closest_hit4, any_hit4)
 from .accel.transport import (RTRay, RTHitResult, trace_closest_hits,

@@ -58,8 +58,17 @@ def _dense_query(scene, rays, tile_size):
                                          tile=min(512, max(tile_size, 8)))
 
 
-def scene_closest_hit(scene, rays, *, tile_size: int = 16384) -> HitResult:
+def scene_closest_hit(scene, rays, *, tile_size: int = 16384,
+                      **trav_kw) -> HitResult:
+    """Generic closest-hit over any scene form — the package-level
+    ``rc.closest_hit``. Dispatches by scene type the way the reference's
+    multiple dispatch does over `AbstractAccel` (src/Raycore.jl:23-47):
+    StaticTLAS -> two-level traversal, DenseScene -> MXU engines,
+    DenseInstancedScene -> instanced sweep. Extra keyword args
+    (stack_size, max_iters, substeps) apply to the traversal engine only."""
     if isinstance(scene, DenseScene):
+        if trav_kw:
+            raise TypeError(f"dense-engine queries do not accept {trav_kw}")
         return _dense_query(scene, rays, tile_size)
     from ..scene.instanced import DenseInstancedScene
     if isinstance(scene, DenseInstancedScene):
@@ -69,14 +78,19 @@ def scene_closest_hit(scene, rays, *, tile_size: int = 16384) -> HitResult:
                 "with a host sync and cannot run under tracing; call "
                 "them between jitted stages (staged drivers) or use a "
                 "StaticTLAS scene inside jit")
+        if trav_kw:
+            raise TypeError(f"instanced queries do not accept {trav_kw}")
         from ..ops.pallas_instanced import closest_hit_instanced
         return closest_hit_instanced(scene, rays)
-    return _trav.closest_hit(scene, rays, tile_size=tile_size)
+    return _trav.closest_hit(scene, rays, tile_size=tile_size, **trav_kw)
 
 
-def scene_any_hit(scene, rays, *, tile_size: int = 16384) -> HitResult:
+def scene_any_hit(scene, rays, *, tile_size: int = 16384,
+                  **trav_kw) -> HitResult:
     if isinstance(scene, DenseScene):
         import jax.numpy as jnp
+        if trav_kw:
+            raise TypeError(f"dense-engine queries do not accept {trav_kw}")
         if not _tracing(rays.o):
             # Dedicated occlusion kernel: first accepted hit wins, no
             # best-t carry / merge / payload gather (reference any_hit
@@ -89,9 +103,11 @@ def scene_any_hit(scene, rays, *, tile_size: int = 16384) -> HitResult:
         return _dense_query(scene, rays0, tile_size)
     from ..scene.instanced import DenseInstancedScene
     if isinstance(scene, DenseInstancedScene):
+        if trav_kw:
+            raise TypeError(f"instanced queries do not accept {trav_kw}")
         from ..ops.pallas_instanced import any_hit_instanced
         return any_hit_instanced(scene, rays)
-    return _trav.any_hit(scene, rays, tile_size=tile_size)
+    return _trav.any_hit(scene, rays, tile_size=tile_size, **trav_kw)
 
 
 def scene_root_aabb(scene):

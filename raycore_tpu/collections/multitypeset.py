@@ -234,6 +234,13 @@ class MultiTypeSet:
                 sch[k] = "int"
             elif isinstance(v, (int, np.integer)):
                 sch[k] = "int"
+            elif isinstance(v, (np.ndarray, list, tuple)):
+                # Small fixed-length vectors stay inline as (cap, K)
+                # columns — the reference's inline StaticArrays
+                # (maybe_convert_field, src/multitypeset.jl:281-324).
+                n = int(np.asarray(v).size)
+                assert n > 0, f"empty vector field '{k}'"
+                sch[k] = f"vec{n}"
             else:
                 sch[k] = "float"
         return sch
@@ -353,11 +360,14 @@ class MultiTypeSet:
             for f, kind in sch.items():
                 if kind == "float":
                     col = np.zeros((cap,), np.float32)
+                elif kind.startswith("vec"):
+                    col = np.zeros((cap, int(kind[3:])), np.float32)
                 else:
                     col = np.zeros((cap,), np.int32)
                 for ri, r in enumerate(rows):
                     if r is not None:
-                        col[ri] = r[f]
+                        col[ri] = np.asarray(r[f], col.dtype).reshape(
+                            col.shape[1:])
                 cols[f] = jnp.asarray(col)
             tables.append(cols)
             counts.append(n)

@@ -218,3 +218,27 @@ def test_wavefront_render_smoke():
     bg = np.array([0.05, 0.07, 0.12])
     fg = np.abs(img - bg).sum(-1) > 0.05
     assert fg.mean() > 0.3
+
+
+def test_multitypeset_inline_vector_fields():
+    """1D vector fields stay inline as (cap, K) columns — the reference's
+    inline StaticArrays (maybe_convert_field, src/multitypeset.jl:281-324);
+    only ndim>=2 arrays become textures."""
+    s = mts.MultiTypeSet()
+    k1 = s.push({"albedo": np.array([0.8, 0.2, 0.1], np.float32),
+                 "sigma": 1.0}, "matte")
+    k2 = s.push({"tint": [0.9, 0.8, 0.7]}, "mirror")   # list works too
+    k3 = s.push({"albedo": np.array([0.1, 0.2, 0.3], np.float32),
+                 "sigma": 0.0}, "matte")
+    st = s.get_static()
+    fns = [lambda r: r["albedo"] * 2.0, lambda r: jnp.asarray(r["tint"])]
+    np.testing.assert_allclose(
+        np.asarray(mts.with_index(fns, st, k1)), [1.6, 0.4, 0.2], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(mts.with_index(fns, st, k2)), [0.9, 0.8, 0.7], rtol=1e-6)
+    # update keeps vectors inline
+    s.update(k3, {"albedo": np.array([1.0, 1.0, 1.0], np.float32),
+                  "sigma": 2.0})
+    st2 = s.get_static()
+    np.testing.assert_allclose(
+        np.asarray(mts.with_index(fns, st2, k3)), [2.0, 2.0, 2.0], rtol=1e-6)
