@@ -44,6 +44,7 @@ from flax import struct
 
 from ..core.ray import Ray
 from ..core.triangle import Triangle
+from ..core.triangle import INV_DIR_CLAMP as _INV_DIR_CLAMP
 from .brute import HitResult
 
 FEAT = 16
@@ -307,26 +308,33 @@ def _mesh_probe(v, n, tg, uv):
 
 
 def _probe_mesh(tris: Triangle):
-    """(lohi ndarray(6), payload_mask int) for a mesh, cached by the
-    vertex array's identity."""
+    """(lohi ndarray(6), payload_mask int) for a mesh. Cached by the
+    identity of ALL FOUR payload arrays — the mask depends on
+    normals/tangents/uv, so a Triangle sharing a vertices array with
+    different payload fields (tris.replace(uv=...)) must not inherit a
+    stale mask (ADVICE r2). Every cached array is weakref-validated
+    because ids recycle after GC."""
     import numpy as np
-    key = (id(tris.vertices), tuple(tris.vertices.shape))
+    arrays = (tris.vertices, tris.normals, tris.tangents, tris.uv)
+    key = tuple(id(a) for a in arrays) + (tuple(tris.vertices.shape),)
     ent = _PROBE_CACHE.get(key)
-    if ent is not None and (ent["ref"] is None or
-                            ent["ref"]() is tris.vertices):
+    if ent is not None and all(
+            r is None or r() is a for r, a in zip(ent["refs"], arrays)):
         return ent["lohi"], ent["mask"]
     lohi, flags = _mesh_probe(tris.vertices, tris.normals, tris.tangents,
                               tris.uv)
     lohi = np.asarray(lohi)
     f = np.asarray(flags)
     mask = int(1 * f[0] + 2 * f[1] + 4 * f[2])
-    try:
-        ref = _weakref.ref(tris.vertices)
-    except TypeError:
-        ref = None
+    def _ref(a):
+        try:
+            return _weakref.ref(a)
+        except TypeError:
+            return None
     while len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
         _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
-    _PROBE_CACHE[key] = dict(lohi=lohi, mask=mask, ref=ref)
+    _PROBE_CACHE[key] = dict(lohi=lohi, mask=mask,
+                             refs=tuple(_ref(a) for a in arrays))
     return lohi, mask
 
 
@@ -409,7 +417,7 @@ def _phase_a_tile_entry(scene: DenseScene, o, d, invd, t_min, t_max,
 
     t_lo_lb = jnp.full((n_tiles, K), -jnp.inf)
     t_hi_ub = jnp.full((n_tiles, K), jnp.inf)
-    CL = jnp.float32(0.99e5)   # safe_invdir clamp detector (clamp = 1e5)
+    CL = jnp.float32(_INV_DIR_CLAMP)   # exact safe_invdir clamp
     for a in range(3):
         lo8 = jnp.full((n_tiles, K), jnp.inf)
         hi8 = jnp.full((n_tiles, K), -jnp.inf)

@@ -212,18 +212,23 @@ def fast_intersect_bbox(ray_o, ray_inv_d, p_min, p_max, t_min, t_max):
     which falsely rejects a node whose face is within ~t*1e-5 of the
     origin coordinate (found at 1/5000 rate on axis-aligned primary
     grids; the bundle interval tests got the same fix in round 1). Such
-    axes are treated as all-t when the origin is inside, empty when
-    outside."""
+    axes are treated as all-t when the origin is inside. When the origin
+    is OUTSIDE the slab the finite clamped interval is kept: it
+    underestimates the true entry (|o-b|*1e5 <= |o-b|/|d|), so it never
+    culls a reachable node — forcing empty there would drop genuine
+    far-t hits (ADVICE r2). Clamp detection compares against the exact
+    clamp constant so genuine directions are never misflagged."""
+    from .triangle import INV_DIR_CLAMP
     oxinv = -ray_o * ray_inv_d
     f = p_max * ray_inv_d + oxinv
     n = p_min * ray_inv_d + oxinv
     hi = jnp.maximum(f, n)
     lo = jnp.minimum(f, n)
-    par = jnp.abs(ray_inv_d) >= 0.99e5          # safe_invdir clamp
+    par = jnp.abs(ray_inv_d) >= INV_DIR_CLAMP
     inside = (ray_o >= p_min) & (ray_o <= p_max)
     inf = jnp.inf
-    lo = jnp.where(par, jnp.where(inside, -inf, inf), lo)
-    hi = jnp.where(par, jnp.where(inside, inf, -inf), hi)
+    lo = jnp.where(par & inside, -inf, lo)
+    hi = jnp.where(par & inside, inf, hi)
     max_t = jnp.minimum(jnp.min(hi, axis=-1), t_max)
     min_t = jnp.maximum(jnp.max(lo, axis=-1), t_min)
     return min_t, max_t

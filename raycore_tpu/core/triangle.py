@@ -197,6 +197,16 @@ def safe_invdir(d):
     return 1.0 / clamped
 
 
+# Exact magnitude safe_invdir produces for a clamped component: every
+# clamped inverse is exactly +-this float32 value, and any GENUINE
+# component (|d| > 1e-5) inverts to strictly-or-equal below it. Slab
+# tests compare |inv_d| >= INV_DIR_CLAMP to detect clamped axes without
+# misflagging genuine near-parallel directions (ADVICE r2: a 0.99e5
+# threshold also captured real directions with |d| in [1e-5, 1.01e-5]).
+import numpy as _np
+INV_DIR_CLAMP = float(_np.float32(1.0) / _np.float32(1e-5))
+
+
 def fast_intersect_triangle(ray_o, ray_d, v0, v1, v2, t_min, closest_t):
     """Möller–Trumbore, exact semantics of the reference
     `fast_intersect_triangle` (src/instanced-bvh.jl:1756-1797): no explicit

@@ -30,6 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.triangle import safe_invdir
+from ..core.triangle import INV_DIR_CLAMP as _INV_DIR_CLAMP
 
 FEAT = 16
 # Mosaic's default scoped-VMEM budget is 16 MB; the TILE=512 / C=128
@@ -124,7 +125,7 @@ def _kernel_body(cids_ref, phi_ref, feats_ref, sub_ref, tmin_ref, key0_ref,
         cur_t = jax.lax.bitcast_convert_type(cur_key & ~mask, jnp.float32)
         lo = tmin
         hi = cur_t
-        CL = jnp.float32(0.99e5)   # safe_invdir clamp detector
+        CL = jnp.float32(_INV_DIR_CLAMP)   # exact safe_invdir clamp
         for a in range(3):
             bmin_a = sub_ref[0, 0, s * 6 + a]
             bmax_a = sub_ref[0, 0, s * 6 + 3 + a]
@@ -134,11 +135,13 @@ def _kernel_body(cids_ref, phi_ref, feats_ref, sub_ref, tmin_ref, key0_ref,
             ahi = jnp.maximum(t0, t1)
             # Axis-parallel correction (see core.bounds.fast_intersect_
             # bbox): clamped invdir reports a false exit for rays whose
-            # origin sits inside the slab.
+            # origin sits inside the slab -> widen to all-t. Outside
+            # origins keep the finite clamped interval (a conservative
+            # entry underestimate) rather than forcing empty.
             par = jnp.abs(invd[:, a:a + 1]) >= CL
             inside = (o[:, a:a + 1] >= bmin_a) & (o[:, a:a + 1] <= bmax_a)
-            alo = jnp.where(par, jnp.where(inside, -jnp.inf, jnp.inf), alo)
-            ahi = jnp.where(par, jnp.where(inside, jnp.inf, -jnp.inf), ahi)
+            alo = jnp.where(par & inside, -jnp.inf, alo)
+            ahi = jnp.where(par & inside, jnp.inf, ahi)
             lo = jnp.maximum(lo, alo)
             hi = jnp.minimum(hi, ahi)
         sub_live = jnp.any(lo <= hi)
@@ -427,7 +430,7 @@ def _phase_a_kernel(stats_ref, bounds_ref, entry_out):
     K = bounds_ref.shape[1]
     t_lo = jnp.full((TN, K), -jnp.inf, jnp.float32)
     t_hi = jnp.full((TN, K), jnp.inf, jnp.float32)
-    CL = jnp.float32(0.99e5)   # safe_invdir clamp detector
+    CL = jnp.float32(_INV_DIR_CLAMP)   # exact safe_invdir clamp
     for a in range(3):
         blo = bounds_ref[a, :][None, :]
         bhi = bounds_ref[3 + a, :][None, :]

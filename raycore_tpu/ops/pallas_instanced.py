@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from ..accel.dense import FEAT, ray_features
 from ..core.transforms import _apply_mat3
 from ..core.triangle import safe_invdir
+from ..core.triangle import INV_DIR_CLAMP as _INV_DIR_CLAMP
 from .pallas_dense import _t_from_keys, build_worklist, phase_a_entry_bounds
 from .pallas_regroup import (COL_TMAX, COL_TMIN, INT32_MAX,
                              combine_rows_grouped, group_flat_cluster_major,
@@ -53,7 +54,7 @@ def _bundle_entry_vs_bounds(olo, ohi, ilo, ihi, tlo, thi, bmin, bmax):
     shape = jnp.broadcast_shapes(olo[..., 0].shape, bmin[..., 0].shape)
     t_lo = jnp.full(shape, -jnp.inf)
     t_hi = jnp.full(shape, jnp.inf)
-    CL = jnp.float32(0.99e5)
+    CL = jnp.float32(_INV_DIR_CLAMP)   # exact safe_invdir clamp
     for a in range(3):
         lo8 = jnp.full(shape, jnp.inf)
         hi8 = jnp.full(shape, -jnp.inf)

@@ -46,6 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.triangle import safe_invdir
+from ..core.triangle import INV_DIR_CLAMP as _INV_DIR_CLAMP
 from .pallas_dense import (FEAT, _MATMUL_PRECISION, _VMEM_PARAMS, _t_from_keys,
                            build_worklist, phase_a_entry)
 
@@ -106,7 +107,7 @@ def refine_pairs(stats, tids, cids, cluster_min, cluster_max,
 
     t_lo = jnp.full((P, SPT), -jnp.inf)
     t_hi = jnp.full((P, SPT), jnp.inf)
-    CL = jnp.float32(0.99e5)   # safe_invdir clamp detector
+    CL = jnp.float32(_INV_DIR_CLAMP)   # exact safe_invdir clamp
     for a in range(3):
         lo8 = jnp.full((P, SPT), jnp.inf)
         hi8 = jnp.full((P, SPT), -jnp.inf)

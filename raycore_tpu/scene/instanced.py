@@ -17,10 +17,15 @@ across instances directly.
 """
 from __future__ import annotations
 
+import weakref as _weakref
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
+
+# refresh_instances: baked instance->BLAS assignment, host copy per scene.
+_BAKED_BLAS_CACHE: dict = {}
 
 from ..accel.dense import FEAT, build_dense
 from ..core.transforms import mat3x4_inverse, _apply_mat3
@@ -169,6 +174,26 @@ def refresh_instances(scene: DenseInstancedScene,
     reference refit path (sync! with only transforms_dirty,
     src/instanced-bvh.jl:2197-2222)."""
     _, transforms, blas_idx = _gather_instance_arrays(mgr)
-    assert transforms.shape[0] == scene.n_instances, \
-        "instance set changed; re-bake with bake_instanced"
+    if transforms.shape[0] != scene.n_instances:
+        raise ValueError(
+            "instance set changed; re-bake with bake_instanced")
+    # A delete+push cycle can preserve the COUNT while changing which
+    # BLAS each slot references (or the dedup slot order) — the baked
+    # inst_blas / cluster tables would then silently trace the wrong
+    # geometry (ADVICE r2). Cheap host-side equality catches it; the
+    # baked assignment is read back once per scene, not per frame
+    # (weakref-validated: ids recycle after GC).
+    key = id(scene.inst_blas)
+    ent = _BAKED_BLAS_CACHE.get(key)
+    if ent is None or ent[0]() is not scene.inst_blas:
+        baked = np.asarray(scene.inst_blas)
+        while len(_BAKED_BLAS_CACHE) >= 64:
+            _BAKED_BLAS_CACHE.pop(next(iter(_BAKED_BLAS_CACHE)))
+        _BAKED_BLAS_CACHE[key] = (_weakref.ref(scene.inst_blas), baked)
+    else:
+        baked = ent[1]
+    if not np.array_equal(np.asarray(blas_idx), baked):
+        raise ValueError(
+            "instance->BLAS assignment changed since bake_instanced "
+            "(delete+push cycle?); re-bake with bake_instanced")
     return _refresh_jit(scene, jnp.asarray(transforms))

@@ -120,6 +120,37 @@ def test_fast_intersect_bbox_matches_reference_form():
     assert float(lo2) > float(hi2)  # miss by t_max clip
 
 
+def test_fast_intersect_bbox_clamped_axis_outside_keeps_far_hit():
+    """ADVICE r2: a clamped axis (|d| <= 1e-5) with origin OUTSIDE the
+    slab must keep the finite (conservative) clamped interval, not force
+    empty — the ray genuinely enters at large finite t."""
+    o = jnp.array([0.0, 0.0, 0.0])
+    inv = rc.safe_invdir(jnp.array([1e-6, 1.0, 0.0]))   # x clamped
+    # Slab x in [1, 2]; y in [0, 3e6] so the true overlap (t ~ 1e6..2e6)
+    # lies inside the y interval. Clamped-x interval is [1e5, 2e5] —
+    # an entry underestimate, still a non-empty overlap.
+    lo, hi = B.fast_intersect_bbox(o, inv, jnp.array([1.0, 0.0, -1.0]),
+                                   jnp.array([2.0, 3e6, 1.0]),
+                                   0.0, jnp.inf)
+    assert float(lo) <= float(hi)   # node kept (pre-fix: culled)
+
+
+def test_fast_intersect_bbox_genuine_near_parallel_not_misflagged():
+    """|d| just above the 1e-5 clamp inverts to just below the clamp
+    constant; it must take the normal product path (pre-fix a 0.99e5
+    detector threshold forced these to empty when outside)."""
+    d = jnp.array([1.005e-5, 1.0, 0.0])
+    inv = rc.safe_invdir(d)
+    assert float(jnp.abs(inv[0])) < 1.0 / 1e-5
+    o = jnp.array([0.0, 0.0, 0.0])
+    lo, hi = B.fast_intersect_bbox(o, inv, jnp.array([1.0, 0.0, -1.0]),
+                                   jnp.array([2.0, 3e6, 1.0]),
+                                   0.0, jnp.inf)
+    assert float(lo) <= float(hi)
+    # Entry matches the true product (1-0)/d_x.
+    assert float(lo) == pytest.approx(1.0 / 1.005e-5, rel=1e-3)
+
+
 def test_bounds2():
     b = rc.Bounds2.from_points([0, 0], [2, 4])
     np.testing.assert_allclose(B.diagonal(b), [2, 4])

@@ -115,6 +115,24 @@ def test_dense_nonpow2_counts(rng):
     assert float(r.t) == pytest.approx(3.0, abs=0.05)
 
 
+def test_probe_cache_tracks_payload_fields():
+    """ADVICE r2: the per-mesh probe cache must not key only on the
+    vertices array — a Triangle sharing vertices with DIFFERENT payload
+    fields (replace(uv=...)) must get a fresh payload_mask, not inherit
+    the stale one (which silently zeroed uv in hit payloads)."""
+    mesh = rc.sphere_mesh(radius=1.0, n_theta=8, n_phi=16)
+    t0 = mesh.replace(uv=jnp.zeros_like(mesh.uv))
+    s0 = build_dense(t0, cluster_size=32)
+    assert not (s0.payload_mask & 4)          # uv bit clear
+    t1 = t0.replace(uv=jnp.ones_like(t0.uv))  # same vertices identity
+    s1 = build_dense(t1, cluster_size=32)
+    assert s1.payload_mask & 4                # uv bit set, not stale
+    r = closest_hit_dense(s1, rc.Ray.create(o=[0.05, 0.02, -4.0],
+                                            d=[0.0, 0, 1.0]), tile=8)
+    assert bool(r.hit)
+    assert float(jnp.abs(r.triangle.uv).max()) > 0.0
+
+
 def test_bake_dense_matches_tlas():
     from raycore_tpu.scene.tlas import TLAS
     from raycore_tpu.scene.bake import bake_dense

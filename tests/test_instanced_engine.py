@@ -121,6 +121,25 @@ def test_instanced_dynamics_refresh(rng):
         _check(ref, got)
 
 
+def test_refresh_rejects_changed_blas_assignment(rng):
+    """ADVICE r2: a delete+push cycle that preserves the instance COUNT
+    but changes which BLAS a slot references must be rejected by
+    refresh_instances (the baked tables would trace the wrong geometry)."""
+    mgr = TLAS()
+    sph = rc.sphere_mesh(radius=1.0, n_theta=8, n_phi=16)
+    box = rc.box_mesh()
+    h1 = mgr.push(sph, _transform(rng))
+    mgr.push(sph, _transform(rng))
+    mgr.sync()
+    ds = bake_instanced(mgr, cluster_size=32)
+    # Same count, different geometry in slot h1.
+    mgr.delete(h1)
+    mgr.push(box, _transform(rng))
+    mgr.sync()
+    with pytest.raises(ValueError, match="re-bake"):
+        refresh_instances(ds, mgr)
+
+
 def test_instanced_shared_blas_many_instances(rng):
     """Particles pattern: one BLAS, many transforms (reference
     multi-transform push, src/instanced-bvh.jl:661-676)."""
