@@ -68,7 +68,16 @@ def _node2_aabb(nodes2, ids):
 
 @jax.jit
 def _collapse(nodes2):
-    """Vectorized BVH2 -> BVH4 collapse over all internal rows."""
+    """Vectorized BVH2 -> BVH4 collapse over all internal rows.
+
+    Interior-preference (reference gather_children_bvh2's BFS "prefer
+    interior" choice, src/bvh4.jl:201-300, :235): when exactly one child
+    is a leaf the two-grandchildren expansion fills only 3 slots; a
+    third expansion step replaces the first INTERIOR grandchild with its
+    own two children, filling all 4. Under leaf-skewed Karras trees
+    (caterpillars) this descends 3 BVH2 levels per BVH4 step instead of
+    2 — same slot sets as the reference's sequential BFS, computed as
+    two fixed vectorized gather rounds."""
     total = nodes2.shape[0]
     n = (total + 1) // 2            # capacity (leaf count)
     ni = n - 1                      # internal rows
@@ -76,14 +85,17 @@ def _collapse(nodes2):
     c1 = nodes2[:ni, 13]
     leaf_base = n - 1
 
+    def children(c):
+        """(g0, g1) of a BVH2 node id (garbage for leaf rows — callers
+        mask on interiority)."""
+        cc = jnp.clip(c, 0, ni - 1)
+        return (jnp.take(nodes2[:, 12], cc), jnp.take(nodes2[:, 13], cc))
+
     def expand(c):
         """Candidate slot pair from one BVH2 child: (slotA, slotB).
         Leaf child -> (leaf c, empty); internal child -> its two children."""
         c_is_leaf = c >= leaf_base
-        cc = jnp.clip(c, 0, ni - 1)
-        g0 = jnp.take(nodes2[:, 12], cc)
-        g1 = jnp.take(nodes2[:, 13], cc)
-        # NOTE: g0/g1 of a leaf row are (INVALID, prim) — masked out below.
+        g0, g1 = children(c)
         slot_a = jnp.where(c_is_leaf, c, g0)
         slot_b = jnp.where(c_is_leaf, _INVALID, g1)
         return slot_a, slot_b
@@ -91,6 +103,22 @@ def _collapse(nodes2):
     a0, b0 = expand(c0)
     a1, b1 = expand(c1)
     slots = jnp.stack([a0, b0, a1, b1], axis=1)          # (ni, 4) BVH2 ids
+
+    # Third expansion: one child leaf + one internal -> 3 filled slots.
+    # Expand the first interior grandchild of the internal child.
+    c0_leaf = c0 >= leaf_base
+    c1_leaf = c1 >= leaf_base
+    one_leaf = c0_leaf ^ c1_leaf
+    leaf_slot = jnp.where(c0_leaf, c0, c1)
+    g0, g1 = children(jnp.where(c0_leaf, c1, c0))
+    g0_int = (g0 >= 0) & (g0 < leaf_base)
+    g1_int = (g1 >= 0) & (g1 < leaf_base)
+    e = jnp.where(g0_int, g0, g1)               # grandchild to expand
+    keep = jnp.where(g0_int, g1, g0)
+    h0, h1 = children(e)
+    do3 = one_leaf & (g0_int | g1_int)
+    slots3 = jnp.stack([leaf_slot, keep, h0, h1], axis=1)
+    slots = jnp.where(do3[:, None], slots3, slots)
 
     valid = slots >= 0
     ids = jnp.clip(slots, 0, total - 1).reshape(-1)

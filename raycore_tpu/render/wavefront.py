@@ -191,6 +191,13 @@ def render_step(scene: StaticTLAS, materials: Materials, lights: PointLights,
     # Stage 6-8: one metallic reflection bounce, traced COMPACTED.
     refl_active = hit & (mats.metallic > 0.0)
     rd = reflect(view_dir, n)
+    # Roughness jitter (reference generate_reflection_rays!,
+    # docs/src/wavefront-renderer.jl:457-459): uniform [-1,1]^3 offset
+    # scaled by material roughness, renormalized. roughness=0 mirrors
+    # exactly (offset is zero).
+    offs = (jax.random.uniform(jax.random.fold_in(key, 1), rd.shape,
+                               jnp.float32) * 2.0 - 1.0)
+    rd = rd + offs * mats.roughness[:, None]
     rd = rd / jnp.maximum(jnp.linalg.norm(rd, axis=-1, keepdims=True), 1e-12)
     order = compact_order(refl_active)
     inv_order = jnp.argsort(order)

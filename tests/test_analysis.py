@@ -220,6 +220,31 @@ def test_wavefront_render_smoke():
     assert fg.mean() > 0.3
 
 
+def test_wavefront_reflection_roughness_jitter():
+    """Parity with the reference's generate_reflection_rays! roughness
+    jitter (docs/src/wavefront-renderer.jl:457-459): with the SAME key,
+    raising the metallic material's roughness must change the reflected
+    region (pre-fix, roughness had no effect anywhere in the pipeline),
+    and roughness=0 must stay a perfect mirror (key-independent)."""
+    scene, materials, lights, camera = example_scene()
+    cfg = RenderConfig(width=64, height=48, spp=1, tile_size=1024)
+    key = jax.random.PRNGKey(7)
+
+    def render_with_roughness(rf, k=key):
+        m = materials.replace(
+            roughness=materials.roughness.at[4].set(rf))
+        return np.asarray(WavefrontRenderer(scene, m, lights, camera,
+                                            cfg).render(k))
+    mirror = render_with_roughness(0.0)
+    rough = render_with_roughness(0.8)
+    assert np.abs(mirror - rough).max() > 0.02
+    # Mirror reflections don't consume randomness: a different key only
+    # moves the sub-pixel sample jitter, not the reflection directions.
+    mirror_b = render_with_roughness(0.0, jax.random.PRNGKey(8))
+    rough_b = render_with_roughness(0.8, jax.random.PRNGKey(8))
+    assert np.abs(mirror - mirror_b).mean() < np.abs(rough - rough_b).mean() + 1e-6
+
+
 def test_multitypeset_inline_vector_fields():
     """1D vector fields stay inline as (cap, K) columns — the reference's
     inline StaticArrays (maybe_convert_field, src/multitypeset.jl:281-324);

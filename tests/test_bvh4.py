@@ -95,6 +95,56 @@ def test_any_hit4(rng):
     assert np.all(np.asarray(a.t)[m] >= np.asarray(c.t)[m] - 1e-5)
 
 
+def _bvh4_depth(nodes4):
+    """Max root-to-leaf depth in BVH4 rows (host BFS)."""
+    refs = np.asarray(nodes4)[:, 24:28]
+    leaf_bit = 1 << 30
+    depth = {0: 1}
+    frontier = [0]
+    best = 1
+    while frontier:
+        r = frontier.pop()
+        for k in range(4):
+            ref = refs[r, k]
+            if ref == -1 or (ref & leaf_bit):
+                continue
+            if ref not in depth or depth[ref] < depth[r] + 1:
+                depth[ref] = depth[r] + 1
+                best = max(best, depth[ref])
+                frontier.append(ref)
+    return best
+
+
+def test_collapse_interior_preference_on_skewed_tree(rng):
+    """Reference gather_children_bvh2 prefers expanding interior nodes so
+    all 4 slots fill (src/bvh4.jl:235). On a leaf-skewed (caterpillar)
+    Karras tree the naive both-grandchildren collapse leaves a slot empty
+    at every step and only halves the depth; interior preference must cut
+    it to ~D/3 AND keep exact brute parity."""
+    # Exponentially clustered x positions -> morton split at a different
+    # leading bit every level -> caterpillar BVH2.
+    n = 128
+    x = (2.0 ** -np.arange(n, dtype=np.float64)).astype(np.float32)
+    base = np.stack([x, np.zeros_like(x), np.zeros_like(x)], -1)[:, None, :]
+    offs = np.array([[0, 0, 0], [0, 0.01, 0], [0, 0, 0.01]],
+                    np.float32)[None] * np.maximum(x, 1e-6)[:, None, None]
+    tris = rc.Triangle.create(jnp.asarray(base + offs))
+    blas = build_blas(tris)
+    b4 = wide.collapse_blas(blas)
+    d4 = _bvh4_depth(b4.nodes4)
+    # BVH2 depth of the caterpillar is ~n; the naive collapse gives ~n/2.
+    # Interior preference must beat that decisively.
+    assert d4 < n // 2 - 8, f"BVH4 depth {d4} — interior preference inactive?"
+    # Parity on the skewed tree.
+    rays = aimed_rays(rng, tris, 128)
+    r4 = wide.closest_hit4(b4, rays, tile_size=128)
+    rb = rc.closest_hit_brute(tris, rays)
+    np.testing.assert_array_equal(np.asarray(r4.hit), np.asarray(rb.hit))
+    m = np.asarray(r4.hit)
+    np.testing.assert_allclose(np.asarray(r4.t)[m], np.asarray(rb.t)[m],
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_bvh4_sphere_depth():
     tris = rc.sphere_mesh(radius=1.0, n_theta=16, n_phi=32)
     b4 = wide.build_blas4(tris)
