@@ -62,6 +62,8 @@ from .accel.protocol import AbstractAccel, TLASAccel, BruteAccel
 from .accel.dense import (DenseScene, build_dense, closest_hit_dense,
                           any_hit_dense, morton_sort_rays)
 from .ops.pallas_dense import closest_hit_dense_pallas
+from .ops.pallas_regroup import (closest_hit_packed, closest_hit_regrouped,
+                                 has_warm_capacity, prewarm)
 from .scene.tlas import (TLAS, TLASHandle, INVALID_HANDLE,
                          blas_to_static_tlas, instance_buffer, refit_tlas)
 from .scene.mesh import (build_triangles, build_triangle,

@@ -26,6 +26,11 @@ def _tracing(x):
     return isinstance(x, jax.core.Tracer)
 
 
+# Queries below this size don't amortize the regrouped engine's per-call
+# grouping/argsort overhead; they stay on the auto-sized tile worklist.
+REGROUP_MIN_RAYS = 1 << 19
+
+
 def _dense_query(scene, rays, tile_size):
     if _tracing(rays.o):
         # Inside someone's jit the auto-sized worklist's host sync cannot
@@ -41,18 +46,28 @@ def _dense_query(scene, rays, tile_size):
     n_rays = 1
     for s in rays.batch_shape:
         n_rays *= s
-    if (scene.sub_chunks == 1 and n_rays >= (1 << 19)
-            and os.environ.get("RAYCORE_DISPATCH_REGROUP", "0") == "1"):
-        # Cluster-major regrouped sweep: per-32-ray-subgroup candidate
-        # lists, ~30% faster than the tile worklist on coherent 1M-ray
-        # queries (docs/performance.md round-2 table). Opt-in here
-        # because its fused stage graphs (1.5M-element sort/scatter
-        # grouping) take tens of minutes in the tunneled REMOTE compiler
-        # — renderer pipelines would stall on first frame. On a local
-        # TPU runtime flip RAYCORE_DISPATCH_REGROUP=1; big single
-        # queries can always call closest_hit_regrouped directly.
-        from ..ops.pallas_regroup import closest_hit_regrouped
-        return closest_hit_regrouped(scene, rays, tile=2048, passes=1)
+    if n_rays >= REGROUP_MIN_RAYS:
+        # Cluster-major regrouped / packed sub-cluster sweeps: the
+        # fastest big-query engines (docs/performance.md). Routed here
+        # when EITHER the user opted in (RAYCORE_DISPATCH_REGROUP=1 —
+        # local runtimes where compiles are cheap) OR the engine is
+        # already WARM for this (scene, shape) — a previous query or an
+        # explicit rc.prewarm() sized its capacities and compiled its
+        # stage graphs, so a repeat query is one dispatch. The warm
+        # check is what lets renderer pipelines default to the fastest
+        # engine without risking a multi-minute first-frame stage-graph
+        # compile on tunneled REMOTE-compiler backends.
+        from ..ops.pallas_regroup import (closest_hit_packed,
+                                          closest_hit_regrouped,
+                                          has_warm_capacity,
+                                          has_warm_capacity_packed)
+        opt_in = os.environ.get("RAYCORE_DISPATCH_REGROUP", "0") == "1"
+        if scene.sub_chunks == 1 and (
+                opt_in or has_warm_capacity(scene, n_rays)):
+            return closest_hit_regrouped(scene, rays, tile=2048, passes=1)
+        if scene.sub_chunks >= 2 and (
+                opt_in or has_warm_capacity_packed(scene, n_rays)):
+            return closest_hit_packed(scene, rays, tile=2048)
     from ..ops.pallas_dense import closest_hit_dense_pallas_auto
     return closest_hit_dense_pallas_auto(scene, rays,
                                          tile=min(512, max(tile_size, 8)))

@@ -809,8 +809,11 @@ def closest_hit_dense_pallas_auto(scene, rays, *, tile: int = 512):
     res = _sweep_and_finalize(scene, tids, cids, phi_p, tmin_p, best0_p,
                               touched, TILE=TILE, n_blocks=nb,
                               interpret=interpret)
+    # _sweep_and_finalize returns the TILE-padded row count; drop the
+    # padding before restoring the caller's batch shape (R not a
+    # multiple of TILE previously crashed the reshape).
     return jax.tree_util.tree_map(
-        lambda a: a.reshape(batch + a.shape[1:]), res)
+        lambda a: a[:R].reshape(batch + a.shape[1:]), res)
 
 
 def closest_hit_dense_pallas(scene, rays, *, tile: int = 256,

@@ -930,6 +930,93 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (max(n, 1) - 1).bit_length())
 
 
+def _shape_params(R0: int, tile: int, subgroup: int):
+    """(G, TILE, padded R) exactly as closest_hit_regrouped/packed
+    derive them — warm-capacity keys must match."""
+    G = min(subgroup, max(8, 1 << (max(R0, 1) - 1).bit_length()))
+    TILE = min(tile, max(R0, G))
+    TILE = -(-TILE // G) * G
+    return G, TILE, R0 + ((-R0) % TILE)
+
+
+def has_warm_capacity(scene, n_rays: int, *, tile: int = 2048,
+                      subgroup: int = 32, spb: int = 16,
+                      passes: int = 1) -> bool:
+    """True when a previous regrouped query at this (scene, shape,
+    params) has populated the capacity cache — i.e. the fused one-
+    dispatch executables exist and a repeat query is cheap. dispatch
+    uses this to auto-route big queries to the regrouped engine without
+    risking a first-call multi-minute remote stage-graph compile."""
+    if getattr(scene, "sub_chunks", 1) != 1:
+        return False
+    G, TILE, Rp = _shape_params(n_rays, tile, subgroup)
+    ck = (id(scene.tri_feats), scene.tri_feats.shape, Rp, TILE, G, spb,
+          passes)
+    return _cache_get(scene, ck) is not None
+
+
+def has_warm_capacity_packed(scene, n_rays: int, *, tile: int = 2048,
+                             subgroup: int = 32, spb_sub: int = 2,
+                             packs: int = 8) -> bool:
+    """Packed-engine analogue of has_warm_capacity."""
+    if getattr(scene, "sub_chunks", 1) < 2:
+        return False
+    G, TILE, Rp = _shape_params(n_rays, tile, subgroup)
+    ck = (id(scene.tri_feats), scene.tri_feats.shape, Rp, TILE, G,
+          spb_sub, packs)
+    ent = _PACKED_CACHE.get(ck)
+    return (ent is not None
+            and ent.get("ref", lambda: None)() is scene.tri_feats)
+
+
+def prewarm(scene, n_rays: int, *, engine: str = "auto", tile: int = 2048,
+            subgroup: int = 32, spb: int = 16, spb_sub: int = 2,
+            packs: int = 8, passes: int = 1):
+    """Compile + capacity-size the fast sweep engines for (scene,
+    n_rays)-shaped queries. Runs two throwaway coherent queries (the
+    first sizes capacities and compiles the two-stage path, the second
+    compiles + validates the fused one-dispatch path). After this,
+    dispatch auto-routes matching queries to the warmed engine — the
+    opt-in that makes the fastest engine the product default without
+    exposing renderer pipelines to multi-minute first-frame compiles on
+    remote-compiler backends (VERDICT r2 item 4).
+
+    engine: "regroup" (sub_chunks=1 scenes), "packed" (sub_chunks>=2),
+    or "auto" (pick by scene form). Returns seconds spent."""
+    import time as _time
+    from ..core.ray import Ray as _Ray
+    if engine == "auto":
+        engine = "packed" if getattr(scene, "sub_chunks", 1) >= 2 \
+            else "regroup"
+    t0 = _time.time()
+    # Coherent primary-style grid over the scene's top face, looking
+    # down: candidate counts are workload-dependent, so the capacity
+    # cache validates post-hoc and falls back gracefully if a real
+    # query needs more (sticky-max growth, no correctness impact).
+    lo = scene.root_aabb[0]
+    hi = scene.root_aabb[1]
+    side = max(int(n_rays ** 0.5), 1)
+    R0 = n_rays
+    xs = jnp.linspace(lo[0], hi[0], side)
+    ys = jnp.linspace(lo[1], hi[1], side)
+    X, Y = jnp.meshgrid(xs, ys, indexing="ij")
+    o = jnp.stack([X, Y, jnp.full_like(X, hi[2] + 1.0)], -1).reshape(-1, 3)
+    reps = -(-R0 // o.shape[0])
+    o = jnp.tile(o, (reps, 1))[:R0]
+    d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0], jnp.float32),
+                         o.shape)
+    rays = _Ray.create(o=o, d=d)
+    for _ in range(2):
+        if engine == "packed":
+            closest_hit_packed(scene, rays, tile=tile, subgroup=subgroup,
+                               spb_sub=spb_sub, packs=packs)
+        else:
+            closest_hit_regrouped(scene, rays, tile=tile,
+                                  subgroup=subgroup, spb=spb,
+                                  passes=passes)
+    return _time.time() - t0
+
+
 def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
                           spb: int = 16, pairs_per_tile: int = 48,
                           combine: str = "grouped", passes: int = 2,

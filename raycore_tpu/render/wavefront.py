@@ -142,33 +142,24 @@ def _shade_lambert(hit_p, hit_n, view_dir, mats, lights: PointLights,
     return diffuse
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def render_step(scene: StaticTLAS, materials: Materials, lights: PointLights,
-                cam: Camera, key, cfg: RenderConfig):
-    """One full wavefront frame -> (H, W, 3) image (reference render!,
-    docs/src/wavefront-renderer.jl:758-883, with compaction added)."""
-    H, W, spp = cfg.height, cfg.width, cfg.spp
-    R = H * W * spp
-    n_lights = lights.position.shape[0]
-
-    # Stage 1-2: primary rays + intersect.
-    rays = generate_primary_rays(cam, W, H, spp, key)
-    res = _disp.scene_closest_hit(scene, rays, tile_size=cfg.tile_size)
-
-    hit = res.hit
+def _surface_frame(res, in_dir):
+    """Hit point + viewer-facing smooth normal from a query result."""
     tri = res.triangle
-    hit_p = bary_interp(res.barycentric, tri.vertices)
-    # Smooth normal from barycentric-interpolated vertex normals; flip
-    # toward the viewer (face_forward).
+    p = bary_interp(res.barycentric, tri.vertices)
     n = bary_interp(res.barycentric, tri.normals)
     nl = jnp.linalg.norm(n, axis=-1, keepdims=True)
     n = jnp.where(nl > 1e-8, n / jnp.where(nl > 0, nl, 1.0), 0.0)
-    n = jnp.where(jnp.sum(n * rays.d, -1, keepdims=True) > 0, -n, n)
+    n = jnp.where(jnp.sum(n * in_dir, -1, keepdims=True) > 0, -n, n)
+    return p, n
 
-    mats = _mat_lookup(materials, tri.metadata.astype(jnp.int32))
 
-    # Stage 3-4: shadow rays (hits x lights) tested with any_hit, t_max =
-    # light distance (reference generate_shadow_rays!/test_shadow_rays!).
+def _shadow_setup_core(rays, res, materials, lights, cfg: RenderConfig):
+    """Stages 2-3 glue: surface frame, material fetch, shadow-ray SoA
+    (reference generate_shadow_rays!)."""
+    n_lights = lights.position.shape[0]
+    hit = res.hit
+    hit_p, n = _surface_frame(res, rays.d)
+    mats = _mat_lookup(materials, res.triangle.metadata.astype(jnp.int32))
     to_l = lights.position[None] - hit_p[:, None]
     dist = jnp.linalg.norm(to_l, axis=-1)
     wi = to_l / jnp.maximum(dist[..., None], 1e-12)
@@ -177,24 +168,28 @@ def render_step(scene: StaticTLAS, materials: Materials, lights: PointLights,
     sd = wi.reshape(-1, 3)
     st = jnp.where(jnp.repeat(hit, n_lights),
                    (dist - 2 * cfg.shadow_eps).reshape(-1), -1.0)
-    occl = _disp.scene_any_hit(scene, Ray.create(o=so, d=sd, t_max=st),
-                              tile_size=cfg.tile_size)
-    occluded = occl.hit.reshape(R, n_lights)
+    return dict(hit=hit, hit_p=hit_p, n=n, mats=mats, so=so, sd=sd, st=st)
 
-    # Stage 5: shade primaries.
+
+def _shade_reflect_core(rays, occl_hit, s, key, lights,
+                        cfg: RenderConfig):
+    """Stages 5-6: lambert shade + compacted reflection-ray generation
+    with roughness jitter (reference shade_primary_hits! +
+    generate_reflection_rays!, docs/src/wavefront-renderer.jl:457-459)."""
+    hit, hit_p, n, mats = s["hit"], s["hit_p"], s["n"], s["mats"]
+    R = hit.shape[0]
+    n_lights = lights.position.shape[0]
+    occluded = occl_hit.reshape(R, n_lights)
     view_dir = -rays.d
     color = _shade_lambert(hit_p, n, view_dir, mats, lights, occluded,
                            cfg.ambient)
     bg = jnp.asarray(cfg.background, jnp.float32)
     color = jnp.where(hit[:, None], color, bg)
 
-    # Stage 6-8: one metallic reflection bounce, traced COMPACTED.
     refl_active = hit & (mats.metallic > 0.0)
     rd = reflect(view_dir, n)
-    # Roughness jitter (reference generate_reflection_rays!,
-    # docs/src/wavefront-renderer.jl:457-459): uniform [-1,1]^3 offset
-    # scaled by material roughness, renormalized. roughness=0 mirrors
-    # exactly (offset is zero).
+    # Roughness jitter: uniform [-1,1]^3 offset scaled by material
+    # roughness, renormalized. roughness=0 mirrors exactly.
     offs = (jax.random.uniform(jax.random.fold_in(key, 1), rd.shape,
                                jnp.float32) * 2.0 - 1.0)
     rd = rd + offs * mats.roughness[:, None]
@@ -204,56 +199,124 @@ def render_step(scene: StaticTLAS, materials: Materials, lights: PointLights,
     ro_c = (hit_p + n * cfg.reflect_eps)[order]
     rd_c = rd[order]
     act_c = refl_active[order]
-    rres = _disp.scene_closest_hit(
-        scene, Ray.create(o=ro_c, d=rd_c,
-                          t_max=jnp.where(act_c, jnp.inf, -1.0)),
-        tile_size=cfg.tile_size)
-    rres = jax.tree_util.tree_map(lambda a: a[inv_order], rres)
+    return dict(color=color, refl_active=refl_active, rd=rd,
+                inv_order=inv_order, ro_c=ro_c, rd_c=rd_c, act_c=act_c,
+                mats=mats)
 
-    r_tri = rres.triangle
-    r_p = bary_interp(rres.barycentric, r_tri.vertices)
-    r_n = bary_interp(rres.barycentric, r_tri.normals)
-    rnl = jnp.linalg.norm(r_n, axis=-1, keepdims=True)
-    r_n = jnp.where(rnl > 1e-8, r_n / jnp.where(rnl > 0, rnl, 1.0), 0.0)
-    r_n = jnp.where(jnp.sum(r_n * rd, -1, keepdims=True) > 0, -r_n, r_n)
-    r_mats = _mat_lookup(materials, r_tri.metadata.astype(jnp.int32))
 
+def _blend_core(rres_sorted, s2, materials, lights, cfg: RenderConfig):
+    """Stages 7-9: shade reflections, metallic blend, sample mean
+    (reference shade_reflections_and_blend! + accumulate_final!)."""
+    H, W, spp = cfg.height, cfg.width, cfg.spp
+    rres = jax.tree_util.tree_map(lambda a: a[s2["inv_order"]], rres_sorted)
+    rd = s2["rd"]
+    bg = jnp.asarray(cfg.background, jnp.float32)
+    r_p, r_n = _surface_frame(rres, rd)
+    r_mats = _mat_lookup(materials,
+                         rres.triangle.metadata.astype(jnp.int32))
     r_to_l = lights.position[None] - r_p[:, None]
     r_d2 = jnp.sum(r_to_l * r_to_l, -1)
     r_wi = r_to_l / jnp.maximum(jnp.sqrt(r_d2)[..., None], 1e-12)
     r_ndotl = jnp.maximum(jnp.sum(r_n[:, None] * r_wi, -1), 0.0)
-    r_irr = lights.intensity[None] * (r_ndotl / jnp.maximum(r_d2, 1e-12))[..., None]
+    r_irr = lights.intensity[None] \
+        * (r_ndotl / jnp.maximum(r_d2, 1e-12))[..., None]
     r_color = r_mats.base_color * (jnp.sum(r_irr, 1) + cfg.ambient)
     r_color = jnp.where(rres.hit[:, None], r_color, bg)
 
-    # Blend: metallic lerp toward the reflected color, tinted by base color
-    # (reference shade_reflections_and_blend!).
+    mats = s2["mats"]
     m = mats.metallic[:, None]
-    color = jnp.where(refl_active[:, None],
-                      color * (1 - m) + r_color * mats.base_color * m,
-                      color)
-
-    # Stage 9: accumulate sample mean (reference accumulate_final!).
+    color = jnp.where(s2["refl_active"][:, None],
+                      s2["color"] * (1 - m)
+                      + r_color * mats.base_color * m,
+                      s2["color"])
     img = color.reshape(H, W, spp, 3).mean(axis=2)
     return jnp.clip(img, 0.0, 1.0)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def render_step(scene: StaticTLAS, materials: Materials, lights: PointLights,
+                cam: Camera, key, cfg: RenderConfig):
+    """One full wavefront frame -> (H, W, 3) image (reference render!,
+    docs/src/wavefront-renderer.jl:758-883, with compaction added).
+    Single-jit variant: traversal runs on the in-jit engine (XLA rounds
+    for DenseScene). For big frames prefer render_staged below."""
+    H, W, spp = cfg.height, cfg.width, cfg.spp
+    rays = generate_primary_rays(cam, W, H, spp, key)
+    res = _disp.scene_closest_hit(scene, rays, tile_size=cfg.tile_size)
+    s = _shadow_setup_core(rays, res, materials, lights, cfg)
+    occl = _disp.scene_any_hit(
+        scene, Ray.create(o=s["so"], d=s["sd"], t_max=s["st"]),
+        tile_size=cfg.tile_size)
+    s2 = _shade_reflect_core(rays, occl.hit, s, key, lights, cfg)
+    rres = _disp.scene_closest_hit(
+        scene, Ray.create(o=s2["ro_c"], d=s2["rd_c"],
+                          t_max=jnp.where(s2["act_c"], jnp.inf, -1.0)),
+        tile_size=cfg.tile_size)
+    return _blend_core(rres, s2, materials, lights, cfg)
+
+
+# Jitted glue stages for the staged driver: all elementwise math stays
+# compiled (eager glue costs ~ms per op on tunneled backends); only the
+# three traversal queries run at host level, where dispatch can pick the
+# auto-sized / regrouped Pallas engines (accel/dispatch.py).
+@partial(jax.jit, static_argnames=("W", "H", "spp"))
+def _jit_primary(cam, key, W: int, H: int, spp: int):
+    return generate_primary_rays(cam, W, H, spp, key)
+
+
+_jit_shadow_setup = jax.jit(_shadow_setup_core,
+                            static_argnames=("cfg",))
+_jit_shade_reflect = jax.jit(_shade_reflect_core,
+                             static_argnames=("cfg",))
+_jit_blend = jax.jit(_blend_core, static_argnames=("cfg",))
+
+
+def render_staged(scene, materials: Materials, lights: PointLights,
+                  cam: Camera, key, cfg: RenderConfig):
+    """Same frame as render_step, but the three traversal queries run
+    BETWEEN jitted glue stages, so dispatch routes them to the fastest
+    engine available for the scene form (Pallas worklist / regrouped
+    sweep for DenseScene — those auto-size with a host sync and cannot
+    run under tracing). Bitwise-identical math to render_step."""
+    W, H, spp = cfg.width, cfg.height, cfg.spp
+    rays = _jit_primary(cam, key, W, H, spp)
+    res = _disp.scene_closest_hit(scene, rays, tile_size=cfg.tile_size)
+    s = _jit_shadow_setup(rays, res, materials, lights, cfg)
+    occl = _disp.scene_any_hit(
+        scene, Ray.create(o=s["so"], d=s["sd"], t_max=s["st"]),
+        tile_size=cfg.tile_size)
+    s2 = _jit_shade_reflect(rays, occl.hit, s, key, lights, cfg)
+    rres = _disp.scene_closest_hit(
+        scene, Ray.create(o=s2["ro_c"], d=s2["rd_c"],
+                          t_max=jnp.where(s2["act_c"], jnp.inf, -1.0)),
+        tile_size=cfg.tile_size)
+    return _jit_blend(rres, s2, materials, lights, cfg)
+
+
 class WavefrontRenderer:
     """Holds the frozen scene + materials + lights + config; `render(key)`
-    dispatches the whole pipeline as one jit step (reference
-    WavefrontRenderer struct + render!, docs/src/wavefront-renderer.jl:647-883)."""
+    runs the full pipeline (reference WavefrontRenderer struct + render!,
+    docs/src/wavefront-renderer.jl:647-883).
+
+    staged=True (default) runs the three traversal queries between
+    jitted glue stages so each query gets the fastest engine for the
+    scene form; staged=False compiles the whole frame as one jit
+    (embed it in a larger jitted loop, donate buffers, etc.)."""
 
     def __init__(self, scene: StaticTLAS, materials: Materials,
                  lights: PointLights, camera: Camera,
-                 config: Optional[RenderConfig] = None):
+                 config: Optional[RenderConfig] = None,
+                 staged: bool = True):
         self.scene = scene
         self.materials = materials
         self.lights = lights
         self.camera = camera
         self.config = config or RenderConfig()
+        self.staged = staged
 
     def render(self, key=None) -> jnp.ndarray:
         if key is None:
             key = jax.random.PRNGKey(0)
-        return render_step(self.scene, self.materials, self.lights,
-                           self.camera, key, self.config)
+        fn = render_staged if self.staged else render_step
+        return fn(self.scene, self.materials, self.lights,
+                  self.camera, key, self.config)

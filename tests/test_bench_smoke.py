@@ -3,6 +3,7 @@ import json
 import os
 import subprocess
 import sys
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -17,6 +18,7 @@ def _run(env_extra, args=None):
     return out
 
 
+@pytest.mark.slow
 def test_bench_emits_json_line():
     out = _run({"RAYCORE_BENCH_TRIS": "2000", "RAYCORE_BENCH_RAYS": "4096",
                 "RAYCORE_BENCH_REPS": "1", "RAYCORE_BENCH_TILE": "256",
@@ -32,6 +34,7 @@ def test_bench_emits_json_line():
     assert detail["hit_frac"] > 0.5
 
 
+@pytest.mark.slow
 def test_bench_traversal_engine():
     out = _run({"RAYCORE_BENCH_TRIS": "500", "RAYCORE_BENCH_RAYS": "1024",
                 "RAYCORE_BENCH_REPS": "1", "RAYCORE_BENCH_TILE": "512",
@@ -41,6 +44,7 @@ def test_bench_traversal_engine():
     assert rec["value"] > 0
 
 
+@pytest.mark.slow
 def test_graft_entry_main():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -57,6 +61,7 @@ def test_graft_entry_main():
     assert "dryrun_multichip(4) ok" in out.stdout
 
 
+@pytest.mark.slow
 def test_examples_run_small():
     """Examples execute end-to-end on CPU with tiny configs."""
     env = dict(os.environ)

@@ -66,6 +66,7 @@ def test_morton_orders_along_axis():
     assert np.all(np.diff(codes.astype(np.int64)) >= 0)
 
 
+@pytest.mark.slow
 def test_karras_topology_structure(rng):
     for n in (2, 3, 8, 33, 128):
         codes = jnp.asarray(
@@ -173,6 +174,7 @@ def test_closest_hit_matches_brute(rng, n_tris):
     assert (m1 == m2).mean() > 0.98
 
 
+@pytest.mark.slow
 def test_stack_overflow_detected_and_retried(rng):
     """VERDICT r1 #10: a too-small stack must not silently drop far
     children. Duplicate-Morton geometry (many overlapping slivers at the
@@ -201,6 +203,7 @@ def test_stack_overflow_detected_and_retried(rng):
     assert not bool(ovf)
 
 
+@pytest.mark.slow
 def test_any_hit_mask_matches(rng):
     tris = rand_tris(rng, 333)
     scene = blas_to_static_tlas(build_blas(tris))

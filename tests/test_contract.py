@@ -32,6 +32,7 @@ def test_contract_counts_and_bounds(accel):
     assert accel.wait_for_gpu() is accel
 
 
+@pytest.mark.slow
 def test_contract_queries(accel):
     rays = rc.Ray.create(
         o=jnp.asarray([[0.05, 0.02, -4.0], [3.05, 0.02, -4.0], [9.0, 0, -4.0]]),
@@ -61,6 +62,7 @@ def test_contract_mutation(accel):
     assert bool(accel.closest_hit(ray).hit)
 
 
+@pytest.mark.slow
 def test_rt_transport_roundtrip():
     mgr = TLAS()
     mgr.push(rc.sphere_mesh(radius=1.0, n_theta=12, n_phi=24), None,

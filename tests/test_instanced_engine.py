@@ -62,6 +62,7 @@ def _check(ref, got, check_inst=True):
         assert (ii == ig).mean() > 0.98
 
 
+@pytest.mark.slow
 def test_instanced_matches_tlas(rng):
     mgr, _ = _scene(rng)
     tlas = mgr.sync()
@@ -72,6 +73,7 @@ def test_instanced_matches_tlas(rng):
     _check(ref, got)
 
 
+@pytest.mark.slow
 def test_instanced_default_params(rng):
     mgr, _ = _scene(rng, n_inst=5)
     tlas = mgr.sync()
@@ -82,6 +84,7 @@ def test_instanced_default_params(rng):
     _check(ref, got)
 
 
+@pytest.mark.slow
 def test_instanced_t_ranges(rng):
     mgr = TLAS()
     mgr.push(rc.plane_mesh(center=(0, 0, 0), u=(4, 0, 0), v=(0, 4, 0)),
@@ -100,6 +103,7 @@ def test_instanced_t_ranges(rng):
     assert not bool(closest_hit_instanced(ds, short).hit[0])
 
 
+@pytest.mark.slow
 def test_instanced_dynamics_refresh(rng):
     """Transform-only updates: refresh_instances must track the TLAS
     refit path exactly, with stable array shapes (no geometry rebuild)."""
@@ -140,6 +144,7 @@ def test_refresh_rejects_changed_blas_assignment(rng):
         refresh_instances(ds, mgr)
 
 
+@pytest.mark.slow
 def test_instanced_shared_blas_many_instances(rng):
     """Particles pattern: one BLAS, many transforms (reference
     multi-transform push, src/instanced-bvh.jl:661-676)."""
@@ -156,6 +161,7 @@ def test_instanced_shared_blas_many_instances(rng):
     _check(ref, got)
 
 
+@pytest.mark.slow
 def test_instanced_with_checksum_warm_path(rng):
     """Fused warm path: cold call seeds the capacity cache (checksum
     None), the second call takes the one-dispatch path and returns the

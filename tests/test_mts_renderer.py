@@ -8,6 +8,7 @@ from raycore_tpu.collections.multitypeset import MultiTypeSet
 from raycore_tpu.render import mts_renderer as M
 from raycore_tpu.render.wavefront import Camera, PointLights, RenderConfig
 from raycore_tpu.scene.tlas import TLAS
+import pytest
 
 
 def build_scene():
@@ -65,6 +66,7 @@ def test_shade_props_dispatch():
     assert refl[3] > 0.5                                            # glass
 
 
+@pytest.mark.slow
 def test_mts_render_smoke():
     scene, sset, _ = build_scene()
     lights = PointLights(position=jnp.asarray([[3.0, -3, 5.0]], jnp.float32),

@@ -10,6 +10,7 @@ from raycore_tpu.ops.pallas_brute import (closest_hit_brute_pallas,
                                           TRI_BLOCK)
 
 
+@pytest.mark.slow
 def test_pallas_brute_matches_xla_brute(rng):
     tris = rc.sphere_mesh(radius=1.0, n_theta=12, n_phi=24)
     o = rng.uniform(-2, 2, (300, 3)).astype(np.float32)
@@ -48,6 +49,7 @@ def test_tri_table_padding():
     assert np.all(np.asarray(table[:, 12:]) == 0)
 
 
+@pytest.mark.slow
 def test_pallas_brute_batch_shapes(rng):
     tris = rc.box_mesh()
     o = rng.uniform(-2, 2, (7, 5, 3)).astype(np.float32)

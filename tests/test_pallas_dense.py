@@ -109,6 +109,7 @@ def test_pallas_worklist_t_ranges(scene):
     assert not bool(clipped.hit)
 
 
+@pytest.mark.slow
 def test_overflow_detection(scene):
     o = jnp.zeros((64, 3)).at[:, 2].set(2.0)
     # A spreading bundle (targets fan over the whole scene) so the tile's
@@ -129,6 +130,7 @@ def test_overflow_detection(scene):
     np.testing.assert_array_equal(np.asarray(r.hit), np.asarray(rb.hit))
 
 
+@pytest.mark.slow
 def test_occlusion_kernel_matches_closest(scene, rng):
     from raycore_tpu.ops.pallas_dense import any_hit_dense_pallas_auto
     xs = jnp.linspace(-0.9, 0.9, 24)

@@ -56,6 +56,7 @@ def _check(ref, got):
         assert np.max(np.abs(gt - rt) / np.maximum(rt, 1e-6)) < 2e-6
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("combine", ["grouped", "sort", "segment"])
 def test_regroup_parity_incoherent(combine):
     scene, rays = _scene_and_rays()
@@ -76,6 +77,7 @@ def test_regroup_parity_configs(C, G, SPB, passes):
     _check(ref, got)
 
 
+@pytest.mark.slow
 def test_regroup_respects_t_range():
     scene, rays = _scene_and_rays(coherent=True, R=256)
     ref = closest_hit_brute(scene.prims, rays)
@@ -91,6 +93,7 @@ def test_regroup_respects_t_range():
     _check(ref, closest_hit_regrouped(scene, rays))
 
 
+@pytest.mark.slow
 def test_regroup_small_non_multiple_of_subgroup():
     # R0=100 with subgroup=32: TILE must round up to a multiple of G
     # (previously a reshape TypeError at trace time — ADVICE.md round 1).
@@ -100,6 +103,7 @@ def test_regroup_small_non_multiple_of_subgroup():
     _check(ref, got)
 
 
+@pytest.mark.slow
 def test_regroup_ragged_batch_and_2d():
     scene, rays = _scene_and_rays(R=777)      # not a multiple of TILE
     ref = closest_hit_brute(scene.prims, rays)
@@ -124,6 +128,7 @@ def _scene_and_rays_sub(n=40, C=128, SUBC=4, R=1024, seed=0, coherent=False):
     return scene, rays
 
 
+@pytest.mark.slow
 def test_packed_matches_brute_coherent():
     from raycore_tpu.ops.pallas_regroup import closest_hit_packed
     scene, rays = _scene_and_rays_sub(R=4096, coherent=True)
@@ -140,6 +145,7 @@ def test_packed_matches_brute_incoherent():
     _check(ref, got)
 
 
+@pytest.mark.slow
 def test_packed_ragged_and_t_ranges():
     from raycore_tpu.ops.pallas_regroup import closest_hit_packed
     scene, rays = _scene_and_rays_sub(R=777, seed=5)
@@ -161,6 +167,7 @@ def test_packed_requires_subchunks():
         closest_hit_packed(scene, rays)
 
 
+@pytest.mark.slow
 def test_regroup_with_checksum_warm_path():
     """with_checksum: cold call returns None, the warm fused call returns
     a host float equal to a strided sum of result.t (the bench's honest
@@ -178,6 +185,7 @@ def test_regroup_with_checksum_warm_path():
     np.testing.assert_array_equal(np.asarray(res0.t), np.asarray(res1.t))
 
 
+@pytest.mark.slow
 def test_packed_with_checksum_warm_path():
     """Packed engine fused warm path: cold call seeds the capacity cache
     (checksum None), the second call takes the one-dispatch path and

@@ -15,6 +15,7 @@ def room():
     return example_scene()
 
 
+@pytest.mark.slow
 def test_pathtracer_smoke(room):
     scene, mats, lights, cam = room
     img = np.asarray(trace_paths(scene, mats, lights, cam,
@@ -27,6 +28,7 @@ def test_pathtracer_smoke(room):
     assert img.mean() > 0.01
 
 
+@pytest.mark.slow
 def test_more_bounces_add_light(room):
     scene, mats, lights, cam = room
     mk = lambda b: np.asarray(trace_paths(
@@ -39,6 +41,7 @@ def test_more_bounces_add_light(room):
     assert img4.mean() > img1.mean() * 1.001
 
 
+@pytest.mark.slow
 def test_compaction_does_not_change_image(room):
     scene, mats, lights, cam = room
     a = np.asarray(trace_paths(scene, mats, lights, cam,
@@ -54,6 +57,7 @@ def test_compaction_does_not_change_image(room):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_textured_albedo(room):
     scene, mats, lights, cam = room
     s = MultiTypeSet()
@@ -77,6 +81,7 @@ def test_textured_albedo(room):
     assert np.abs(img_t - img_p).max() > 0.02
 
 
+@pytest.mark.slow
 def test_staged_matches_jitted(room):
     from raycore_tpu.render.pathtracer import trace_paths_staged
     scene, mats, lights, cam = room
@@ -88,6 +93,7 @@ def test_staged_matches_jitted(room):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_staged_dense_scene():
     from raycore_tpu.render.pathtracer import trace_paths_staged
     from raycore_tpu.accel.dense import build_dense

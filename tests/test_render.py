@@ -14,6 +14,7 @@ def room():
     return example_scene()
 
 
+@pytest.mark.slow
 def test_depth_kernel(room):
     scene, mats, lights, cam = room
     img = np.asarray(S.trace(S.depth_kernel, scene, cam, width=48, height=32,
@@ -24,6 +25,7 @@ def test_depth_kernel(room):
     np.testing.assert_allclose(img[..., 0], img[..., 1])
 
 
+@pytest.mark.slow
 def test_normal_kernel(room):
     scene, mats, lights, cam = room
     img = np.asarray(S.trace(S.normal_kernel, scene, cam, width=48, height=32,
@@ -32,6 +34,7 @@ def test_normal_kernel(room):
     assert img.std() > 0.05
 
 
+@pytest.mark.slow
 def test_hard_vs_soft_shadow(room):
     scene, mats, lights, cam = room
     hard = np.asarray(S.trace(S.shadow_kernel, scene, cam, width=48,
@@ -45,6 +48,7 @@ def test_hard_vs_soft_shadow(room):
     assert inter.mean() > 0.02
 
 
+@pytest.mark.slow
 def test_multi_light_and_reflective(room):
     scene, mats, lights, cam = room
     ml = np.asarray(S.trace(S.multi_light_kernel, scene, cam, width=48,
@@ -95,6 +99,7 @@ def test_export_surface():
     assert not missing, f"missing exports: {missing}"
 
 
+@pytest.mark.slow
 def test_ray_plot_recipe(room, tmp_path):
     """Software RayPlot recipe (reference ext/RaycoreMakieExt.jl:105-202):
     geometry + hit/miss arrows + markers + labels, depth-tested."""

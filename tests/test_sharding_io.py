@@ -35,6 +35,7 @@ def test_mesh_has_8_devices():
     assert len(jax.devices()) >= 8
 
 
+@pytest.mark.slow
 def test_distributed_matches_single(scene):
     mesh = sh.make_mesh(jax.devices()[:8])
     rays = grid_rays(32)
@@ -48,6 +49,7 @@ def test_distributed_matches_single(scene):
                                np.asarray(res_s.t)[h], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_distributed_illumination_allreduce(scene):
     mesh = sh.make_mesh(jax.devices()[:8])
     rays = grid_rays(32)
@@ -60,6 +62,7 @@ def test_distributed_illumination_allreduce(scene):
         float(jnp.sum(res.hit)), rel=1e-6)
 
 
+@pytest.mark.slow
 def test_ray_padding_to_mesh(scene):
     mesh = sh.make_mesh(jax.devices()[:8])
     rays = grid_rays(9)  # 81 rays, not divisible by 8
@@ -68,6 +71,7 @@ def test_ray_padding_to_mesh(scene):
     assert res.hit.shape[0] >= 81
 
 
+@pytest.mark.slow
 def test_scene_io_roundtrip_tlas(scene, tmp_path):
     p = str(tmp_path / "scene.npz")
     save_scene(p, scene)

@@ -52,6 +52,7 @@ def hit_t(scene, x, z0=-4.0):
     return bool(r.hit), float(r.t)
 
 
+@pytest.mark.slow
 def test_churn_push_delete_update_sync(rng):
     mgr = TLAS()
     handles = {}
@@ -85,6 +86,7 @@ def test_churn_push_delete_update_sync(rng):
         assert t == pytest.approx(4.0 - 0.4, abs=0.1)
 
 
+@pytest.mark.slow
 def test_refit_loop_shape_stable():
     mgr = TLAS()
     h = mgr.push(sphere(), translation(0.0))
@@ -148,6 +150,7 @@ def test_deleted_handle_errors():
     assert not mgr.is_valid(h)
 
 
+@pytest.mark.slow
 def test_mesh_grow_shrink_oscillation():
     """Reference test_mesh_update.jl:96-116 — swap mesh size every step and
     verify the analytic sphere-hit depth after each swap (catches stale
@@ -252,6 +255,7 @@ def test_free_drops_scene():
         mgr.sync()
 
 
+@pytest.mark.slow
 def test_instance_buffer_write_and_refit():
     """instance_buffer hands out a writable host staging buffer whose rows
     alias the batch's transforms; refit_tlas commits (reference
