@@ -76,6 +76,133 @@ def distributed_closest_hit(scene: StaticTLAS, rays: Ray, mesh: Mesh,
     return _disp.scene_closest_hit(scene, rays, tile_size=tile_size)
 
 
+def _hitresult_specs(res_tree, axis=RAY_AXIS):
+    """PartitionSpec pytree sharding every HitResult leaf on its ray dim."""
+    from jax.sharding import PartitionSpec as P_
+    return jax.tree_util.tree_map(
+        lambda a: P_(axis, *([None] * (a.ndim - 1))), res_tree)
+
+
+# Per-(scene, shape, mesh) capacity memory for the sharded regroup driver
+# (same contract as the single-chip engines' caches).
+_DIST_CAPS: dict = {}
+
+
+def _stage2_abs(scene, TILE, G, spb, P_cap, B_cap, interpret,
+                o, d, t_min, t_max):
+    """Collective-free single-shard pipeline, used only under
+    jax.eval_shape to derive the HitResult leaf structure for the
+    shard_map out_specs (the real body adds a pmax, which cannot trace
+    outside the mesh)."""
+    from ..ops.pallas_regroup import _stage1_core, _stage2_core
+    block_cid, block_subs, tbl, _total, _coarse = _stage1_core(
+        scene, o, d, t_min, t_max, TILE, G, spb, P_cap, interpret)
+    return _stage2_core(scene, block_cid, block_subs, tbl, o, d, G, spb,
+                        B_cap, interpret, "grouped", o.shape[0],
+                        None, None)
+
+
+def distributed_closest_hit_dense(scene, rays: Ray, mesh: Mesh, *,
+                                  tile: int = 2048, subgroup: int = 32,
+                                  spb: int = 16, pairs_per_tile: int = 48):
+    """Exact closest hit on a replicated DenseScene with rays sharded
+    over the mesh — the multi-chip form of the PRODUCTION cluster-major
+    regrouped engine (ops/pallas_regroup.py), not the slow traversal
+    fallback.
+
+    Expression: `shard_map` over the ray axis; each chip runs the full
+    stage1 (phase A -> worklist -> subgroup refine -> cluster-major
+    grouping) and the Pallas sweep on its local ray partition against
+    the replicated scene tables — the pipeline is embarrassingly
+    data-parallel over ray partitions, so the only cross-chip
+    communication is a `pmax` of the per-chip worklist totals, which
+    the host reads to validate the STATIC capacity buckets (the
+    auto-sizing host-sync contract, lifted over the mesh: overflow
+    doubles the bucket and retries, so results are never truncated).
+    Capacities are remembered per (scene, shape, mesh) like the
+    single-chip engines' caches."""
+    from jax.experimental.shard_map import shard_map
+    from ..ops.pallas_regroup import (_stage1_core, _stage2_core,
+                                      _shape_params)
+    if getattr(scene, "sub_chunks", 1) != 1:
+        raise ValueError("sharded regroup requires sub_chunks=1 scenes")
+    interpret = jax.default_backend() != "tpu"
+    n_dev = mesh.size
+    batch = rays.batch_shape
+    flatten = lambda a: a.reshape((-1,) + a.shape[len(batch):])
+    rays = Ray(o=flatten(rays.o), d=flatten(rays.d),
+               t_min=flatten(rays.t_min), t_max=flatten(rays.t_max),
+               time=flatten(rays.time))
+    R0 = rays.o.shape[0]
+    G, TILE, _ = _shape_params(max(R0 // n_dev, 1), tile, subgroup)
+    rays = pad_rays_to(rays, n_dev * TILE)
+    R = rays.o.shape[0]
+    R_loc = R // n_dev
+    n_tiles_loc = R_loc // TILE
+    K = scene.n_clusters
+    hard = n_tiles_loc * K
+    SPT = TILE // G
+
+    scene_r = replicate_scene(scene, mesh)
+    rays_s = shard_rays(rays, mesh)
+    d = jnp.where(rays_s.d == 0.0, 0.0, rays_s.d)
+
+    ck = (id(scene.tri_feats), scene.tri_feats.shape, R, n_dev, TILE, G,
+          spb)
+    ent = _DIST_CAPS.get(ck)
+    if ent is not None and ent["ref"]() is scene.tri_feats:
+        P_cap = min(max(4096, -(-int(ent["coarse"] * 1.2) // 4096) * 4096),
+                    hard)
+    else:
+        ent = None
+        P_cap = min(pairs_per_tile * n_tiles_loc, hard)
+
+    while True:
+        B_cap = P_cap * SPT // spb + K + 1
+
+        def body(scene, o, d, t_min, t_max):
+            out = _stage1_core(scene, o, d, t_min, t_max, TILE, G, spb,
+                               P_cap, interpret)
+            block_cid, block_subs, tbl, total, coarse = out
+            res = _stage2_core(scene, block_cid, block_subs, tbl, o, d,
+                               G, spb, B_cap, interpret, "grouped",
+                               o.shape[0], None, None)
+            totals = jax.lax.pmax(jnp.stack([total, coarse]), RAY_AXIS)
+            return res, totals
+
+        # Output specs: HitResult leaves sharded on rays; totals
+        # replicated. Build the spec tree from an abstract eval of one
+        # local shard.
+        loc = lambda a: jax.ShapeDtypeStruct((R_loc,) + a.shape[1:],
+                                             a.dtype)
+        res_abs = jax.eval_shape(
+            partial(_stage2_abs, scene, TILE, G, spb, P_cap, B_cap,
+                    interpret),
+            loc(rays.o), loc(rays.d), loc(rays.t_min), loc(rays.t_max))
+        out_specs = (_hitresult_specs(res_abs), P())
+
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(RAY_AXIS, None), P(RAY_AXIS, None),
+                      P(RAY_AXIS), P(RAY_AXIS)),
+            out_specs=out_specs, check_rep=False)
+        res, totals = jax.jit(fn)(scene_r, rays_s.o, d, rays_s.t_min,
+                                  rays_s.t_max)
+        total_max, coarse_max = (int(x) for x in np.asarray(totals))
+        if coarse_max <= P_cap:
+            break
+        if P_cap >= hard:
+            raise RuntimeError(
+                f"sharded regroup overflow at hard capacity: "
+                f"{coarse_max} > {P_cap}")
+        P_cap = min(2 * P_cap, hard)
+    import weakref
+    _DIST_CAPS[ck] = dict(coarse=max(coarse_max,
+                                     (ent or {}).get("coarse", 0)),
+                          ref=weakref.ref(scene.tri_feats))
+    return jax.tree_util.tree_map(lambda a: a[:R0], res)
+
+
 @partial(jax.jit, static_argnames=("n_bins", "tile_size"))
 def _illumination_step(scene: StaticTLAS, rays: Ray, n_bins: int,
                        tile_size: int):

@@ -49,6 +49,61 @@ def test_distributed_matches_single(scene):
                                np.asarray(res_s.t)[h], rtol=1e-5)
 
 
+def test_distributed_dense_regroup_matches_brute():
+    """VERDICT r2 item 7: the PRODUCTION regroup engine under sharding —
+    replicated DenseScene, rays sharded over the 8-device mesh, per-chip
+    stage1 + Pallas sweep inside shard_map, pmax-validated capacities.
+    Exact parity with the brute oracle."""
+    mesh = sh.make_mesh(jax.devices()[:8])
+    tris = rc.displaced_grid_mesh(n=24, extent=2.0, amplitude=0.3)
+    ds = build_dense(tris, cluster_size=64)
+    n = 40
+    xs = jnp.linspace(-0.9, 0.9, n)
+    X, Y = jnp.meshgrid(xs, xs, indexing="ij")
+    o = jnp.stack([X, Y, jnp.full_like(X, 2.0)], -1).reshape(-1, 3)
+    rays = rc.Ray.create(o=o, d=jnp.broadcast_to(
+        jnp.asarray([0.0, 0, -1.0]), o.shape))
+    res = sh.distributed_closest_hit_dense(ds, rays, mesh, tile=128,
+                                           subgroup=8, spb=16)
+    rb = rc.closest_hit_brute(ds.prims, rays)
+    np.testing.assert_array_equal(np.asarray(res.hit), np.asarray(rb.hit))
+    m = np.asarray(rb.hit)
+    assert m.all()
+    np.testing.assert_allclose(np.asarray(res.t)[m], np.asarray(rb.t)[m],
+                               rtol=1e-4, atol=1e-4)
+    # Second call takes the cached capacity bucket; results identical.
+    res2 = sh.distributed_closest_hit_dense(ds, rays, mesh, tile=128,
+                                            subgroup=8, spb=16)
+    np.testing.assert_array_equal(np.asarray(res.t), np.asarray(res2.t))
+
+
+@pytest.mark.slow
+def test_distributed_dense_rounds_under_jit(scene):
+    """Replicated DenseScene + sharded rays through the tracing-safe XLA
+    rounds engine inside one jit (the in-pipeline multi-chip path)."""
+    mesh = sh.make_mesh(jax.devices()[:8])
+    tris = rc.displaced_grid_mesh(n=16, extent=2.0, amplitude=0.3)
+    ds = build_dense(tris, cluster_size=32)
+    rays = rc.Ray.create(
+        o=jnp.stack(jnp.meshgrid(jnp.linspace(-0.9, 0.9, 16),
+                                 jnp.linspace(-0.9, 0.9, 16),
+                                 indexing="ij")
+                    + [jnp.full((16, 16), 2.0)], -1).reshape(-1, 3),
+        d=jnp.broadcast_to(jnp.asarray([0.0, 0, -1.0]), (256, 3)))
+    ds_r = sh.replicate_scene(ds, mesh)
+    rays_s = sh.shard_rays(sh.pad_rays_to(rays, mesh.size), mesh)
+
+    @jax.jit
+    def step(scene, rays):
+        return closest_hit_dense(scene, rays, tile=32).t
+
+    t = step(ds_r, rays_s)
+    rb = rc.closest_hit_brute(ds.prims, rays)
+    m = np.asarray(rb.hit)
+    np.testing.assert_allclose(np.asarray(t)[:256][m], np.asarray(rb.t)[m],
+                               rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.slow
 def test_distributed_illumination_allreduce(scene):
     mesh = sh.make_mesh(jax.devices()[:8])
