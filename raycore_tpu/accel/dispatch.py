@@ -90,9 +90,11 @@ def scene_closest_hit(scene, rays, *, tile_size: int = 16384,
         if _tracing(rays.o):
             raise ValueError(
                 "DenseInstancedScene queries auto-size their worklists "
-                "with a host sync and cannot run under tracing; call "
-                "them between jitted stages (staged drivers) or use a "
-                "StaticTLAS scene inside jit")
+                "with a host sync and cannot run under tracing; inside "
+                "jit use ops.pallas_instanced.closest_hit_instanced_"
+                "static with capacities from instanced_capacity_hint "
+                "(warm up once outside jit), call between jitted stages "
+                "(staged drivers), or use a StaticTLAS scene")
         if trav_kw:
             raise TypeError(f"instanced queries do not accept {trav_kw}")
         from ..ops.pallas_instanced import closest_hit_instanced

@@ -388,6 +388,76 @@ def closest_hit_instanced(scene, rays, *, tile: int = 2048,
     return (reshape_out(res), None) if with_checksum else reshape_out(res)
 
 
+def instanced_capacity_hint(scene, n_rays: int, *, tile: int = 2048,
+                            subgroup: int = 32, spb: int = 16,
+                            headroom: float = 1.5):
+    """(p_cap, q_cap, nb) for closest_hit_instanced_static, derived from
+    the capacity cache a previous EAGER closest_hit_instanced at this
+    (scene, shape) populated — warm up once outside jit, then drive the
+    jitted pipeline with these static capacities. Returns None when no
+    matching warm entry exists."""
+    R0 = n_rays
+    G = min(subgroup, max(8, 1 << (max(R0, 1) - 1).bit_length()))
+    TILE = min(tile, max(R0, G))
+    TILE = -(-TILE // G) * G
+    Rp = R0 + ((-R0) % TILE)
+    ck = (id(scene.tri_feats), Rp, TILE, G, spb)
+    ent = _cap_get(scene, ck)
+    if ent is None:
+        return None
+    return (_next_pow2(int(ent["p"] * headroom)),
+            _next_pow2(int(ent["q"] * headroom)),
+            _next_pow2(max(int(ent["nb"] * headroom), 512)))
+
+
+def closest_hit_instanced_static(scene, rays, *, p_cap: int, q_cap: int,
+                                 nb: int, tile: int = 2048,
+                                 subgroup: int = 32, spb: int = 16):
+    """Trace-safe instanced closest hit with STATIC capacities — the
+    form usable INSIDE jitted pipelines (dynamic instanced scenes in a
+    renderer loop), where the auto-sizing host sync of
+    closest_hit_instanced cannot run.
+
+    Returns ``(result, totals)`` where totals = int32[coarse_pairs,
+    refined_pairs, blocks]. Contract (same predict-then-validate scheme
+    as the engines' fused warm paths): results are exact only when
+    ``totals <= (p_cap, q_cap, nb)`` — the caller must read totals on
+    the host after the jitted step and re-run with doubled capacities
+    on overflow. Derive capacities from a warmup query via
+    instanced_capacity_hint()."""
+    interpret = jax.default_backend() != "tpu"
+    batch = rays.batch_shape
+    flat = lambda a: a.reshape((-1,) + a.shape[len(batch):])
+    o, d = flat(rays.o), flat(rays.d)
+    t_min, t_max = flat(rays.t_min), flat(rays.t_max)
+    R0 = o.shape[0]
+    G = min(subgroup, max(8, 1 << (max(R0, 1) - 1).bit_length()))
+    TILE = min(tile, max(R0, G))
+    TILE = -(-TILE // G) * G
+    d = jnp.where(d == 0.0, 0.0, d)
+    pad = (-R0) % TILE
+    if pad:
+        ext = lambda a, f: jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], f, a.dtype)])
+        o, d = ext(o, 0.0), ext(d, 1.0)
+        t_min, t_max = ext(t_min, 0.0), ext(t_max, -jnp.inf)
+    # Clamp to the hard maxima (same as the eager driver): a cap above
+    # the candidate-domain size breaks the compaction's shape contract.
+    n_tiles = o.shape[0] // TILE
+    n_sub = o.shape[0] // G
+    p_cap = min(p_cap, n_tiles * scene.n_instances)
+    q_cap = min(q_cap, n_sub * scene.n_instances)
+    out = _stage1_inst_core(scene, o, d, t_min, t_max, TILE, G, spb,
+                            p_cap, q_cap, interpret)
+    block_cid, block_subs, tbl, qsub, qinst, totals = out
+    nb = min(nb, block_cid.shape[0])     # static clamp to the block grid
+    res = _stage2_inst_core(scene, block_cid, block_subs, tbl, qsub,
+                            qinst, o, d, G, spb, nb, R0, interpret)
+    res = jax.tree_util.tree_map(
+        lambda a: a.reshape(batch + a.shape[1:]), res)
+    return res, totals
+
+
 def any_hit_instanced(scene, rays, **kw):
     """Occlusion over a DenseInstancedScene: t_min forced to 0
     (reference any_hit, src/instanced-bvh.jl:2045). Uses the closest-hit
