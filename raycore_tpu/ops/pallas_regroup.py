@@ -698,9 +698,11 @@ def closest_hit_packed(scene, rays, *, tile: int = 2048, subgroup: int = 32,
     the fused path was not taken) — the same honest completion barrier
     contract as closest_hit_regrouped."""
     SUBC = scene.sub_chunks
-    if SUBC < 2:
-        raise ValueError("packed engine requires sub_chunks >= 2 scenes "
-                         "(build_dense(..., sub_chunks=4))")
+    # SUBC=1 is a legitimate configuration: candidates stay at cluster
+    # granularity (C_eff = C) but blocks still pack PACKS sub-blocks of
+    # SPB_sub subgroups block-diagonally along K — at 22 subscribers per
+    # cluster (1M headline census), per-cluster padding drops from
+    # ~31% at SPB=16 (regroup) to ~4% at SPB_sub=2.
     if packs * FEAT > 128:
         raise ValueError("packs*16 must be <= 128 (MXU depth)")
     interpret = jax.default_backend() != "tpu"

@@ -160,11 +160,16 @@ def test_packed_ragged_and_t_ranges():
     _check(ref2, closest_hit_packed(scene, rays2, tile=512))
 
 
-def test_packed_requires_subchunks():
+def test_packed_subc1_cluster_granularity():
+    """SUBC=1 packed: candidates stay at cluster granularity but blocks
+    pack PACKS sub-blocks block-diagonally along K — the low-padding
+    alternative to the SPB=16 regroup grouping (round-3 census)."""
     from raycore_tpu.ops.pallas_regroup import closest_hit_packed
-    scene, rays = _scene_and_rays(R=64)
-    with pytest.raises(ValueError):
-        closest_hit_packed(scene, rays)
+    scene, rays = _scene_and_rays(R=1024, seed=7)
+    assert scene.sub_chunks == 1
+    ref = closest_hit_brute(scene.prims, rays)
+    _check(ref, closest_hit_packed(scene, rays, tile=512, packs=4,
+                                   spb_sub=2))
 
 
 @pytest.mark.slow
