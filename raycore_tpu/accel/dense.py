@@ -138,9 +138,19 @@ def gather_hit_payload(scene: "DenseScene", idx, hit):
             return jnp.where(hit[:, None], g, 0.0)
         return jnp.zeros((R, ncols), jnp.float32)
 
+    verts = i32_as_f32(rows[:, 0:9]).reshape(R, 3, 3)
+    if scene.payload_mask & 8:
+        # Flat-shaded mesh (probe-verified): recompute the face normal
+        # from the hot vertices instead of a second payload gather.
+        fn = _face_normals(verts)
+        fn = jnp.where(hit[:, None], fn, 0.0)
+        normals = jnp.broadcast_to(fn[:, None, :], (R, 3, 3))
+    else:
+        normals = cold(scene.prims.normals, 9, 1).reshape(R, 3, 3)
+
     tri = Triangle(
-        vertices=i32_as_f32(rows[:, 0:9]).reshape(R, 3, 3),
-        normals=cold(scene.prims.normals, 9, 1).reshape(R, 3, 3),
+        vertices=verts,
+        normals=normals,
         tangents=cold(scene.prims.tangents, 9, 2).reshape(R, 3, 3),
         uv=cold(scene.prims.uv, 6, 4).reshape(R, 3, 2),
         metadata=meta)
@@ -299,11 +309,31 @@ _PROBE_CACHE: dict = {}
 _PROBE_CACHE_MAX = 64
 
 
+def _face_normals(v):
+    """Unit face normal per triangle, the EXACT formula the finalize
+    recompute path uses (must stay in lockstep with the probe below):
+    normalize(cross(v1-v0, v2-v0)), zero-length guarded to 0."""
+    e1 = v[:, 1] - v[:, 0]
+    e2 = v[:, 2] - v[:, 0]
+    fn = jnp.cross(e1, e2)
+    ln = jnp.sqrt(jnp.sum(fn * fn, axis=-1, keepdims=True))
+    return fn / jnp.where(ln > 0, ln, 1.0)
+
+
 @jax.jit
 def _mesh_probe(v, n, tg, uv):
     vr = v.reshape(-1, 3).astype(jnp.float32)
     lohi = jnp.concatenate([jnp.min(vr, 0), jnp.max(vr, 0)])
-    flags = jnp.array([jnp.any(n != 0), jnp.any(tg != 0), jnp.any(uv != 0)])
+    # Flat-shaded detection: when every stored vertex normal equals the
+    # face normal (within 1e-6 — the probe runs the same jnp formula the
+    # finalize recompute uses, on the same backend), the winner's normals
+    # can be recomputed from its already-gathered vertices instead of
+    # paying a second 1M-row payload gather (~12 ms at 1M rays; TPU
+    # gathers are row-latency bound, docs/performance.md).
+    fn = _face_normals(v)[:, None, :]
+    flat = jnp.all(jnp.abs(n - fn) <= 1e-6) & jnp.any(n != 0)
+    flags = jnp.array([jnp.any(n != 0), jnp.any(tg != 0), jnp.any(uv != 0),
+                       flat])
     return lohi, flags
 
 
@@ -325,7 +355,7 @@ def _probe_mesh(tris: Triangle):
                               tris.uv)
     lohi = np.asarray(lohi)
     f = np.asarray(flags)
-    mask = int(1 * f[0] + 2 * f[1] + 4 * f[2])
+    mask = int(1 * f[0] + 2 * f[1] + 4 * f[2] + 8 * f[3])
     def _ref(a):
         try:
             return _weakref.ref(a)

@@ -64,8 +64,6 @@ def _traverse_tile(tlas: StaticTLAS, o_w, d_w, t_min, t_max0, *,
         ovf=jnp.zeros((), bool),     # any lane pushed past the stack top
     )
 
-    slots = jnp.arange(stack_size, dtype=jnp.int32)[None, :]
-
     def cond(s):
         # An overflowed tile terminates immediately: its results are
         # discarded (the caller re-runs with the proven-depth stack), and
@@ -132,9 +130,17 @@ def _traverse_tile(tlas: StaticTLAS, o_w, d_w, t_min, t_max0, *,
         # eager wrappers re-run with the proven-depth stack (VERDICT r1
         # #10). The clip below keeps indices in range either way.
         ovf = s["ovf"] | jnp.any(do_push & (sptr1 > stack_size - 1))
-        write = (slots == jnp.clip(sptr1, 0, stack_size - 1)[:, None]) \
-            & do_push[:, None]
-        stack = jnp.where(write, push_val[:, None], s["stack"])
+        # Row scatter, not a masked full rewrite: the (R, stack_size)
+        # where-write moved ~4 MB per step per 16K-ray tile (the loop
+        # carry is rewritten each iteration); writing the one touched
+        # slot per lane is stack_size x less traffic. Non-push lanes
+        # write back their old top value (a no-op store).
+        widx = jnp.clip(sptr1, 0, stack_size - 1)
+        old_top = jnp.take_along_axis(s["stack"], widx[:, None],
+                                      axis=1)[:, 0]
+        stack = s["stack"].at[
+            jnp.arange(R, dtype=jnp.int32), widx].set(
+                jnp.where(do_push, push_val, old_top))
 
         # --- choose next node: descend or pop ---------------------------
         if any_hit:

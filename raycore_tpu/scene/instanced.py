@@ -139,7 +139,13 @@ def bake_instanced(mgr, cluster_size: int = 128,
     root = jnp.stack([jnp.min(wmin, 0), jnp.max(wmax, 0)])
     pm = 0
     for d in per:
-        pm |= d.payload_mask
+        pm |= d.payload_mask & 0b111
+    # Bit 8 (flat-shaded: finalize recomputes face normals instead of
+    # gathering) is only sound scene-wide if EVERY member mesh is
+    # flat-shaded — a smooth-normal or zero-normal member must keep the
+    # gather path, else its hits would fabricate face normals.
+    if all((d.payload_mask & 0b1001) == 0b1001 for d in per) and per:
+        pm |= 8
     return DenseInstancedScene(
         tri_feats=tri_feats,
         cluster_min=cat(lambda d: d.cluster_min),

@@ -133,6 +133,34 @@ def test_probe_cache_tracks_payload_fields():
     assert float(jnp.abs(r.triangle.uv).max()) > 0.0
 
 
+def test_flat_shaded_normals_recompute():
+    """Flat-shaded meshes (stored normals == face normals, probe bit 8):
+    finalize recomputes normals from the hot vertices instead of a second
+    payload gather; values must match the stored normals."""
+    mesh = rc.displaced_grid_mesh(n=16)        # build_triangles default:
+    scene = build_dense(mesh, cluster_size=32)  # face normals
+    assert scene.payload_mask & 8
+    o = np.stack([*np.meshgrid(np.linspace(-0.8, 0.8, 16),
+                               np.linspace(-0.8, 0.8, 16)),
+                  np.full((16, 16), 3.0)], -1).reshape(-1, 3).astype(
+                      np.float32)
+    d = np.broadcast_to(np.array([0, 0, -1], np.float32), o.shape)
+    rays = rc.Ray.create(o=jnp.asarray(o), d=jnp.asarray(d.copy()))
+    r = closest_hit_dense(scene, rays, tile=64)
+    assert bool(np.asarray(r.hit).all())
+    stored = np.asarray(mesh.normals)[np.asarray(r.prim_idx)]
+    np.testing.assert_allclose(np.asarray(r.triangle.normals), stored,
+                               atol=2e-6)
+
+    # Smooth normals (not face normals): bit 8 clear, gather path intact.
+    smooth = mesh.replace(normals=jnp.ones_like(mesh.normals))
+    s2 = build_dense(smooth, cluster_size=32)
+    assert not (s2.payload_mask & 8)
+    r2 = closest_hit_dense(s2, rays, tile=64)
+    np.testing.assert_allclose(np.asarray(r2.triangle.normals)
+                               [np.asarray(r2.hit)], 1.0)
+
+
 def test_bake_dense_matches_tlas():
     from raycore_tpu.scene.tlas import TLAS
     from raycore_tpu.scene.bake import bake_dense
