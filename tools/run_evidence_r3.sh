@@ -68,6 +68,9 @@ run "build decomposition 2 (perm variants)" 2400 python tools/profile_build2.py
 run "instanced dynamic bench" 5400 python tools/tpu_instanced_bench.py
 run "exercise (instance id, occlusion, stack)" 1800 python tools/tpu_exercise_r2.py
 
+run "bench bvh traversal engine (scatter-stack A/B vs r2's 0.25 Mrays/s)" 3600 \
+    env RAYCORE_BENCH_WAIT_TPU=0 RAYCORE_BENCH_ENGINE=bvh RAYCORE_BENCH_RAYS=262144 RAYCORE_BENCH_REPS=2 python bench.py
+
 # --- tier 4: knob sweeps ---
 run "bench regroup SPB=8" 2400 \
     env RAYCORE_BENCH_WAIT_TPU=0 RAYCORE_BENCH_SPB=8 RAYCORE_BENCH_REPS=3 python bench.py
