@@ -45,6 +45,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 from ..core.triangle import safe_invdir
 from ..core.triangle import INV_DIR_CLAMP as _INV_DIR_CLAMP
 from .pallas_dense import (FEAT, _MATMUL_PRECISION, _VMEM_PARAMS, _t_from_keys,
@@ -134,17 +136,12 @@ def refine_pairs(stats, tids, cids, cluster_min, cluster_max,
     return jnp.where(ok, entry, jnp.inf)
 
 
-def group_flat_cluster_major(sub, cid, valid, *, SPB: int, n_sub: int,
-                             B_cap: int, K: int):
-    """Pack flat (subgroup, cluster) candidates into cluster-major blocks
-    of SPB subgroups. Returns (block_cid (B_cap,), block_subs
-    (B_cap, SPB), total_blocks). block_cid = -1 marks padding blocks;
-    padding slots point at the dummy subgroup ``n_sub``."""
-    N = sub.shape[0]
-    cid_k = jnp.where(valid, cid, K)              # invalids sort last
-    cid_s, sub_s = jax.lax.sort((cid_k, sub), num_keys=1, is_stable=False)
-    valid_s = cid_s < K
-
+def pack_presorted_cluster_major(cid_s, sub_s, valid_s, *, SPB: int,
+                                 n_sub: int, B_cap: int, K: int):
+    """Pack an ALREADY cluster-contiguous (cid, sub, valid) list into
+    blocks of SPB subgroups — pure rank arithmetic, no sort. Requires
+    equal cids adjacent and every invalid entry carrying cid >= K."""
+    N = sub_s.shape[0]
     i = jnp.arange(N, dtype=jnp.int32)
     boundary = jnp.concatenate(
         [jnp.ones((1,), bool), cid_s[1:] != cid_s[:-1]])
@@ -162,6 +159,19 @@ def group_flat_cluster_major(sub, cid, valid, *, SPB: int, n_sub: int,
     block_subs = jnp.full((B_cap, SPB), n_sub, jnp.int32).at[
         block_id, slot].set(sub_s, mode="drop")
     return block_cid, block_subs, total
+
+
+def group_flat_cluster_major(sub, cid, valid, *, SPB: int, n_sub: int,
+                             B_cap: int, K: int):
+    """Pack flat (subgroup, cluster) candidates into cluster-major blocks
+    of SPB subgroups. Returns (block_cid (B_cap,), block_subs
+    (B_cap, SPB), total_blocks). block_cid = -1 marks padding blocks;
+    padding slots point at the dummy subgroup ``n_sub``."""
+    cid_k = jnp.where(valid, cid, K)              # invalids sort last
+    cid_s, sub_s = jax.lax.sort((cid_k, sub), num_keys=1, is_stable=False)
+    valid_s = cid_s < K
+    return pack_presorted_cluster_major(cid_s, sub_s, valid_s, SPB=SPB,
+                                        n_sub=n_sub, B_cap=B_cap, K=K)
 
 
 def group_cluster_major(tids, cids, fine_entry, *, SPT: int, SPB: int,
@@ -831,6 +841,78 @@ def _stage1(scene, o, d, t_min, t_max, *, TILE: int, G: int, SPB: int,
                         interpret)
 
 
+def _stage1_cm_core(scene, o, d, t_min, t_max, TILE, G, SPB, P_cap, Q_cap,
+                    interpret):
+    """SORT-FREE stage1: compact the TRANSPOSED phase-A entry matrix so
+    the coarse worklist comes out cluster-major for free; the subgroup
+    expansion preserves that order, so after one compaction the blocks
+    pack with pure rank arithmetic (pack_presorted_cluster_major) —
+    replacing the N = P_cap*SPT two-key grouping sort (the largest
+    stage1 term, docs/performance.md) with O(N) compaction + an O(Q_cap)
+    pack. Candidate SET is identical to _stage1_core; only the block
+    order differs (by cluster id instead of sort order), which the
+    per-ray merge is insensitive to."""
+    from .pallas_dense import compact_indices
+    K = scene.n_clusters
+    SPT = TILE // G
+    R = o.shape[0]
+    n_tiles = R // TILE
+    n_sub = R // G
+
+    entry = phase_a_entry(scene, o, d, t_min, t_max, n_tiles, TILE,
+                          interpret)
+    # build_worklist on entry.T: "tids" = rows = CLUSTER ids (dummy K),
+    # "cids" = cols = TILE ids; compaction order = cluster-major.
+    crow, tcol, coarse_total = build_worklist(entry.T, P_cap)
+    valid_p = crow < K
+    tile_ids = jnp.where(valid_p, tcol, n_tiles)
+    cluster_ids = jnp.where(valid_p, crow, 0)
+    stats = subgroup_stats(o, d, t_min, t_max, G)
+    fine = refine_pairs(stats, tile_ids, cluster_ids, scene.cluster_min,
+                        scene.cluster_max, SPT, n_tiles)       # (P, SPT)
+
+    sub = (tile_ids[:, None] * SPT
+           + jnp.arange(SPT, dtype=jnp.int32)[None, :]).reshape(-1)
+    cid = jnp.broadcast_to(cluster_ids[:, None],
+                           (P_cap, SPT)).reshape(-1)
+    sel, q_total = compact_indices(jnp.isfinite(fine).reshape(-1), Q_cap)
+    qvalid = jnp.arange(Q_cap) < q_total
+    sub_q = jnp.where(qvalid, jnp.take(sub, sel), n_sub)
+    cid_q = jnp.where(qvalid, jnp.take(cid, sel), K)
+    B_cap = Q_cap // SPB + K + 1
+    block_cid, block_subs, total = pack_presorted_cluster_major(
+        cid_q, sub_q, qvalid, SPB=SPB, n_sub=n_sub, B_cap=B_cap, K=K)
+    tbl = ray_table(o, d, t_min, t_max, G)
+    totals = jnp.stack([coarse_total, q_total, total])
+    return block_cid, block_subs, tbl, totals
+
+
+@partial(jax.jit, static_argnames=("TILE", "G", "SPB", "P_cap", "Q_cap",
+                                   "interpret"))
+def _stage1_cm(scene, o, d, t_min, t_max, *, TILE: int, G: int, SPB: int,
+               P_cap: int, Q_cap: int, interpret: bool):
+    return _stage1_cm_core(scene, o, d, t_min, t_max, TILE, G, SPB,
+                           P_cap, Q_cap, interpret)
+
+
+@partial(jax.jit, static_argnames=("TILE", "G", "SPB", "P_cap", "Q_cap",
+                                   "nb", "interpret", "combine", "R0"))
+def _fused_query_cm(scene, o, d, t_min, t_max, *, TILE: int, G: int,
+                    SPB: int, P_cap: int, Q_cap: int, nb: int,
+                    interpret: bool, combine: str, R0: int):
+    """One-dispatch warm path for the sort-free stage1 (same predict-
+    then-validate contract as _fused_query; totals carry coarse, q,
+    blocks + a result checksum)."""
+    block_cid, block_subs, tbl, totals = _stage1_cm_core(
+        scene, o, d, t_min, t_max, TILE, G, SPB, P_cap, Q_cap, interpret)
+    res = _stage2_core(scene, block_cid, block_subs, tbl, o[:R0], d[:R0],
+                       G, SPB, nb, interpret, combine, o.shape[0],
+                       None, None)
+    csum = jnp.sum(res.t[::257], dtype=jnp.float32)
+    return res, jnp.concatenate(
+        [totals, jax.lax.bitcast_convert_type(csum, jnp.int32)[None]])
+
+
 @partial(jax.jit, static_argnames=("TILE", "G", "SPB", "P_cap", "nb",
                                    "interpret", "combine", "R0"))
 def _fused_query(scene, o, d, t_min, t_max, *, TILE: int, G: int, SPB: int,
@@ -1019,10 +1101,110 @@ def prewarm(scene, n_rays: int, *, engine: str = "auto", tile: int = 2048,
     return _time.time() - t0
 
 
+def _closest_hit_regrouped_cm(scene, rays, *, tile: int, subgroup: int,
+                              spb: int, pairs_per_tile: int, combine: str,
+                              with_checksum: bool):
+    """Sort-free stage1 driver (stage1="compact"): same auto-sizing
+    contract as closest_hit_regrouped with one extra capacity (Q_cap,
+    the compacted subgroup-pair list) validated from the same packed
+    totals readback."""
+    interpret = jax.default_backend() != "tpu"
+    batch = rays.batch_shape
+    flat = lambda a: a.reshape((-1,) + a.shape[len(batch):])
+    o, d = flat(rays.o), flat(rays.d)
+    t_min, t_max = flat(rays.t_min), flat(rays.t_max)
+    R0 = o.shape[0]
+    G = min(subgroup, max(8, 1 << (max(R0, 1) - 1).bit_length()))
+    TILE = min(tile, max(R0, G))
+    TILE = -(-TILE // G) * G
+    SPB = spb
+    d = jnp.where(d == 0.0, 0.0, d)
+    pad = (-R0) % TILE
+    if pad:
+        ext = lambda a, f: jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], f, a.dtype)])
+        o, d = ext(o, 0.0), ext(d, 1.0)
+        t_min, t_max = ext(t_min, 0.0), ext(t_max, -jnp.inf)
+    n_tiles = o.shape[0] // TILE
+    n_sub = o.shape[0] // G
+    K = scene.n_clusters
+    hard_p = n_tiles * K
+    hard_q = n_sub * K
+    P_cap = min(pairs_per_tile * n_tiles, hard_p)
+    Q_cap = min(max(4096, 8 * n_sub), hard_q)
+    ck = (id(scene.tri_feats), scene.tri_feats.shape, o.shape[0], TILE, G,
+          SPB, "cm")
+    cached = _cache_get(scene, ck)
+    if cached is not None:
+        bucket = lambda w, h: min(max(4096, -(-int(w * 1.2) // 4096) * 4096),
+                                  h)
+        P_cap = bucket(cached["coarse"], hard_p)
+        Q_cap = bucket(cached["q"], hard_q)
+
+    reshape_out = lambda res: jax.tree_util.tree_map(
+        lambda a: a.reshape(batch + a.shape[1:]), res)
+    import numpy as _np
+
+    if cached is not None and combine == "grouped":
+        B_cap = Q_cap // SPB + K + 1
+        nb_pred = min(cached["nb"], B_cap)
+        res, totals = _fused_query_cm(
+            scene, o, d, t_min, t_max, TILE=TILE, G=G, SPB=SPB,
+            P_cap=P_cap, Q_cap=Q_cap, nb=nb_pred, interpret=interpret,
+            combine=combine, R0=R0)
+        tarr = _np.asarray(totals)
+        coarse, q_total, total = (int(x) for x in tarr[:3])
+        if coarse <= P_cap and q_total <= Q_cap and total <= nb_pred:
+            _cache_put_cm(scene, ck, max(cached["coarse"], coarse),
+                          max(cached["q"], q_total), max(cached["nb"],
+                                                         nb_pred))
+            if with_checksum:
+                return reshape_out(res), float(tarr[3:4].view(_np.float32)[0])
+            return reshape_out(res)
+
+    while True:
+        block_cid, block_subs, tbl, totals = _stage1_cm(
+            scene, o, d, t_min, t_max, TILE=TILE, G=G, SPB=SPB,
+            P_cap=P_cap, Q_cap=Q_cap, interpret=interpret)
+        coarse, q_total, total = (int(x) for x in _np.asarray(totals))
+        ok_p, ok_q = coarse <= P_cap, q_total <= Q_cap
+        if ok_p and ok_q:
+            break
+        if P_cap >= hard_p and Q_cap >= hard_q:
+            raise RuntimeError(
+                f"regroup-cm worklist overflow at hard capacity: "
+                f"coarse={coarse}/{P_cap} pairs={q_total}/{Q_cap}")
+        if not ok_p:
+            P_cap = min(2 * P_cap, hard_p)
+        if not ok_q:
+            Q_cap = min(2 * Q_cap, hard_q)
+    nb = 1 << max(9, (max(total, 1) - 1).bit_length())
+    nb = min(nb, block_cid.shape[0])
+    prev = cached or dict(coarse=0, q=0, nb=0)
+    _cache_put_cm(scene, ck, max(prev["coarse"], coarse),
+                  max(prev["q"], q_total), max(prev["nb"], nb))
+    res = _stage2(scene, block_cid, block_subs, tbl, o[:R0], d[:R0],
+                  G=G, SPB=SPB, n_blocks=nb, interpret=interpret,
+                  combine=combine, R_pad=o.shape[0], k1=None, p1=None)
+    res = reshape_out(res)
+    return (res, None) if with_checksum else res
+
+
+def _cache_put_cm(scene, ck, coarse, q, nb):
+    try:
+        ref = _weakref.ref(scene.tri_feats)
+    except TypeError:
+        ref = None
+    while len(_CAPACITY_CACHE) >= _CAPACITY_CACHE_MAX:
+        _CAPACITY_CACHE.pop(next(iter(_CAPACITY_CACHE)))
+    _CAPACITY_CACHE[ck] = dict(coarse=coarse, q=q, nb=nb, ref=ref)
+
+
 def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
                           spb: int = 16, pairs_per_tile: int = 48,
                           combine: str = "grouped", passes: int = 2,
-                          with_checksum: bool = False):
+                          with_checksum: bool = False,
+                          stage1: str | None = None):
     """Exact closest hit via the cluster-major regrouped sweep. One host
     sync reads the true block count and pow2-buckets the kernel grid
     (same auto-sizing contract as closest_hit_dense_pallas_auto).
@@ -1035,9 +1217,23 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
     was not taken). Reading it costs nothing extra — it rides the warm
     path's existing totals readback — and it is value-dependent on the
     full query, so benchmarks can use it as the honest completion
-    barrier instead of dispatching a separate probe."""
+    barrier instead of dispatching a separate probe.
+
+    stage1: "sort" (default; env RAYCORE_REGROUP_STAGE1 overrides) uses
+    the two-key grouping sort; "compact" (passes=1 only) compacts the
+    transposed phase-A matrix so blocks pack sort-free — same candidate
+    set, different block order."""
     if scene.sub_chunks != 1:
         raise ValueError("regrouped engine requires sub_chunks=1 scenes")
+    if stage1 is None:
+        stage1 = _os.environ.get("RAYCORE_REGROUP_STAGE1", "sort")
+    if stage1 not in ("sort", "compact"):
+        raise ValueError(f"stage1 must be 'sort' or 'compact', got {stage1}")
+    if stage1 == "compact" and passes == 1:
+        return _closest_hit_regrouped_cm(
+            scene, rays, tile=tile, subgroup=subgroup, spb=spb,
+            pairs_per_tile=pairs_per_tile, combine=combine,
+            with_checksum=with_checksum)
     interpret = jax.default_backend() != "tpu"
     batch = rays.batch_shape
     flat = lambda a: a.reshape((-1,) + a.shape[len(batch):])

@@ -160,6 +160,30 @@ def test_packed_ragged_and_t_ranges():
     _check(ref2, closest_hit_packed(scene, rays2, tile=512))
 
 
+def test_regroup_compact_stage1_parity():
+    """stage1="compact" (sort-free cluster-major grouping) must produce
+    the exact same results as the sort path, cold and warm (fused)."""
+    scene, rays = _scene_and_rays(R=4096, coherent=True)
+    ref = closest_hit_brute(scene.prims, rays)
+    got = closest_hit_regrouped(scene, rays, tile=512, passes=1,
+                                stage1="compact")
+    _check(ref, got)
+    # Second call takes the fused warm path; checksum must be real.
+    got2, cs = closest_hit_regrouped(scene, rays, tile=512, passes=1,
+                                     stage1="compact", with_checksum=True)
+    _check(ref, got2)
+    assert cs is not None
+    np.testing.assert_allclose(
+        cs, float(np.asarray(got2.t)[::257].sum()), rtol=1e-6)
+
+
+def test_regroup_compact_stage1_incoherent_and_ragged():
+    scene, rays = _scene_and_rays(R=777, seed=5)
+    ref = closest_hit_brute(scene.prims, rays)
+    _check(ref, closest_hit_regrouped(scene, rays, tile=512, passes=1,
+                                      stage1="compact"))
+
+
 def test_packed_subc1_cluster_granularity():
     """SUBC=1 packed: candidates stay at cluster granularity but blocks
     pack PACKS sub-blocks block-diagonally along K — the low-padding

@@ -43,6 +43,10 @@ run "bench regroup default (headline revalidation + driver cache prewarm)" 2400 
     env RAYCORE_BENCH_WAIT_TPU=0 python bench.py
 run "bench regroup SPB=32 (per-block fixed cost halving)" 2400 \
     env RAYCORE_BENCH_WAIT_TPU=0 RAYCORE_BENCH_SPB=32 RAYCORE_BENCH_REPS=3 python bench.py
+run "bench regroup stage1=compact (sort-free grouping)" 2400 \
+    env RAYCORE_BENCH_WAIT_TPU=0 RAYCORE_REGROUP_STAGE1=compact RAYCORE_BENCH_REPS=3 python bench.py
+run "bench regroup stage1=compact worklist=scatter (O(N) compaction)" 2400 \
+    env RAYCORE_BENCH_WAIT_TPU=0 RAYCORE_REGROUP_STAGE1=compact RAYCORE_WORKLIST=scatter RAYCORE_BENCH_REPS=3 python bench.py
 run "bench packed SUBC=1 (cluster-granularity block-diagonal packing, ~4% padding)" 3600 \
     env RAYCORE_BENCH_WAIT_TPU=0 RAYCORE_BENCH_ENGINE=packed RAYCORE_BENCH_SUBCHUNKS=1 RAYCORE_BENCH_REPS=3 python bench.py
 run "bench packed SUBC=4 (sub-cluster candidates)" 3600 \
