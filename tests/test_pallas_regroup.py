@@ -177,6 +177,33 @@ def test_regroup_compact_stage1_parity():
         cs, float(np.asarray(got2.t)[::257].sum()), rtol=1e-6)
 
 
+def test_regroup_deferred_warm_path():
+    """deferred=True: warm queries return (result, finalizer) with the
+    totals validation deferred — the chained-dispatch bench contract.
+    The finalizer must validate and return the checksum; results match
+    the synced path exactly."""
+    scene, rays = _scene_and_rays(R=2048, seed=11)
+    ref = closest_hit_regrouped(scene, rays, tile=512, passes=1)  # warm up
+    res, fin = closest_hit_regrouped(scene, rays, tile=512, passes=1,
+                                     deferred=True)
+    assert fin is not None, "warm shape must take the fused path"
+    cs = fin()
+    assert cs is not None, "finalizer must validate on identical query"
+    np.testing.assert_allclose(
+        cs, float(np.asarray(res.t)[::257].sum()), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(res.hit), np.asarray(ref.hit))
+    m = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(res.t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-6)
+
+    # Cold shape: deferred degrades to a synced result with no finalizer.
+    rays2 = _scene_and_rays(R=512, seed=12)[1]
+    res2, fin2 = closest_hit_regrouped(scene, rays2, tile=256, passes=1,
+                                       deferred=True)
+    assert fin2 is None
+    _check(closest_hit_brute(scene.prims, rays2), res2)
+
+
 def test_regroup_compact_stage1_incoherent_and_ragged():
     scene, rays = _scene_and_rays(R=777, seed=5)
     ref = closest_hit_brute(scene.prims, rays)
