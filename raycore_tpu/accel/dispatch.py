@@ -109,6 +109,21 @@ def scene_any_hit(scene, rays, *, tile_size: int = 16384,
         if trav_kw:
             raise TypeError(f"dense-engine queries do not accept {trav_kw}")
         if not _tracing(rays.o):
+            import os
+            n_rays = 1
+            for s in rays.batch_shape:
+                n_rays *= s
+            if n_rays >= REGROUP_MIN_RAYS and scene.sub_chunks == 1:
+                # Regrouped occlusion (per-subgroup candidates + skipped
+                # payload finalize) when warm / opted-in — same routing
+                # rule as the closest path.
+                from ..ops.pallas_regroup import (any_hit_regrouped,
+                                                  has_warm_capacity)
+                opt_in = os.environ.get("RAYCORE_DISPATCH_REGROUP",
+                                        "0") == "1"
+                if opt_in or has_warm_capacity(scene, n_rays,
+                                               occlusion=True):
+                    return any_hit_regrouped(scene, rays, tile=2048)
             # Dedicated occlusion kernel: first accepted hit wins, no
             # best-t carry / merge / payload gather (reference any_hit
             # early-exit, src/instanced-bvh.jl:2034-2140). Only hit +

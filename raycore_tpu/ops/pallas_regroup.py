@@ -932,10 +932,11 @@ def _fused_query_cm(scene, o, d, t_min, t_max, *, TILE: int, G: int,
 
 
 @partial(jax.jit, static_argnames=("TILE", "G", "SPB", "P_cap", "nb",
-                                   "interpret", "combine", "R0"))
+                                   "interpret", "combine", "R0",
+                                   "occlusion"))
 def _fused_query(scene, o, d, t_min, t_max, *, TILE: int, G: int, SPB: int,
                  P_cap: int, nb: int, interpret: bool, combine: str,
-                 R0: int):
+                 R0: int, occlusion: bool = False):
     """One-dispatch warm path: stage1 + stage2 with a PREDICTED block
     grid (from the call site's previous query). The caller validates the
     returned totals post-hoc and falls back to the two-stage path when
@@ -946,20 +947,24 @@ def _fused_query(scene, o, d, t_min, t_max, *, TILE: int, G: int, SPB: int,
     block_cid, block_subs, tbl, total, coarse_total = out
     res = _stage2_core(scene, block_cid, block_subs, tbl, o[:R0], d[:R0],
                        G, SPB, nb, interpret, combine, o.shape[0],
-                       None, None)
+                       None, None, occlusion)
     # One packed totals array = one host readback for the validation.
     # A result checksum rides along in the same readback: a strided sum
     # over the result's t is value-dependent on the WHOLE query, so the
     # caller's totals pull doubles as an honest completion barrier
     # (tunneled backends: block_until_ready does not wait; see bench.py)
     # without a second probe dispatch + roundtrip.
-    csum = jnp.sum(res.t[::257], dtype=jnp.float32)
+    # Occlusion results carry t == 0 (constant — XLA would fold a t-sum
+    # without running the query); sum the occluder ids instead.
+    carrier = res.prim_idx.astype(jnp.float32) if occlusion else res.t
+    csum = jnp.sum(carrier[::257], dtype=jnp.float32)
     return res, jnp.stack([total, coarse_total,
                            jax.lax.bitcast_convert_type(csum, jnp.int32)])
 
 
 def _stage2_core(scene, block_cid, block_subs, tbl, o, d, G, SPB,
-                 n_blocks, interpret, combine, R_pad, k1, p1):
+                 n_blocks, interpret, combine, R_pad, k1, p1,
+                 occlusion: bool = False):
     from ..accel.dense import finalize_hits_exact
     C = scene.cluster_size
     R = o.shape[0]
@@ -981,17 +986,40 @@ def _stage2_core(scene, block_cid, block_subs, tbl, o, d, G, SPB,
                                     & ((p1 < out_pair) | (out_pair < 0)))
         out_key = jnp.where(better1, k1, out_key)
         out_pair = jnp.where(better1, p1, out_pair)
+    if occlusion:
+        # Occlusion contract (reference any_hit early-exit semantics,
+        # src/instanced-bvh.jl:2034-2140): only hit + occluder prim +
+        # instance are contractual — skip the payload finalize entirely
+        # (the closest path's hot+cold gathers are the ~12-25 ms/1M-ray
+        # term, docs/performance.md).
+        from ..accel.brute import HitResult
+        from ..accel.dense import _hit_instance_idx
+        from ..core.triangle import Triangle
+        pair_r = out_pair[:R]
+        hit = pair_r >= 0
+        ids = jnp.take(scene.prims_hot[:, 10], jnp.clip(pair_r, 0, None))
+        orig = jnp.where(hit, ids, -1)
+        z3 = jnp.zeros((R, 3, 3), jnp.float32)
+        tri = Triangle(vertices=z3, normals=z3, tangents=z3,
+                       uv=jnp.zeros((R, 3, 2), jnp.float32),
+                       metadata=jnp.zeros((R,), jnp.uint32))
+        return HitResult(hit=hit, triangle=tri,
+                         t=jnp.zeros((R,), jnp.float32),
+                         barycentric=jnp.zeros((R, 3), jnp.float32),
+                         prim_idx=orig,
+                         instance_idx=_hit_instance_idx(scene, orig, hit))
     t = _t_from_keys(out_key[:R], 0)        # full-precision keys
     return finalize_hits_exact(scene, out_pair[:R], t, o, d)
 
 
 @partial(jax.jit, static_argnames=("G", "SPB", "n_blocks", "interpret",
-                                   "combine", "R_pad"))
+                                   "combine", "R_pad", "occlusion"))
 def _stage2(scene, block_cid, block_subs, tbl, o, d, *, G: int, SPB: int,
             n_blocks: int, interpret: bool, combine: str, R_pad: int,
-            k1=None, p1=None):
+            k1=None, p1=None, occlusion: bool = False):
     return _stage2_core(scene, block_cid, block_subs, tbl, o, d, G, SPB,
-                        n_blocks, interpret, combine, R_pad, k1, p1)
+                        n_blocks, interpret, combine, R_pad, k1, p1,
+                        occlusion)
 
 
 # Per-(scene, query-shape) capacity memory: repeated queries (bench reps,
@@ -1043,7 +1071,7 @@ def _shape_params(R0: int, tile: int, subgroup: int):
 
 def has_warm_capacity(scene, n_rays: int, *, tile: int = 2048,
                       subgroup: int = 32, spb: int = 16,
-                      passes: int = 1) -> bool:
+                      passes: int = 1, occlusion: bool = False) -> bool:
     """True when a previous regrouped query at this (scene, shape,
     params) has populated the capacity cache — i.e. the fused one-
     dispatch executables exist and a repeat query is cheap. dispatch
@@ -1053,7 +1081,7 @@ def has_warm_capacity(scene, n_rays: int, *, tile: int = 2048,
         return False
     G, TILE, Rp = _shape_params(n_rays, tile, subgroup)
     ck = (id(scene.tri_feats), scene.tri_feats.shape, Rp, TILE, G, spb,
-          passes)
+          passes, occlusion)
     return _cache_get(scene, ck) is not None
 
 
@@ -1116,6 +1144,8 @@ def prewarm(scene, n_rays: int, *, engine: str = "auto", tile: int = 2048,
             closest_hit_regrouped(scene, rays, tile=tile,
                                   subgroup=subgroup, spb=spb,
                                   passes=passes)
+            any_hit_regrouped(scene, rays, tile=tile, subgroup=subgroup,
+                              spb=spb)
     return _time.time() - t0
 
 
@@ -1238,7 +1268,8 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
                           combine: str = "grouped", passes: int = 2,
                           with_checksum: bool = False,
                           stage1: str | None = None,
-                          deferred: bool = False):
+                          deferred: bool = False,
+                          _occlusion: bool = False):
     """Exact closest hit via the cluster-major regrouped sweep. One host
     sync reads the true block count and pow2-buckets the kernel grid
     (same auto-sizing contract as closest_hit_dense_pallas_auto).
@@ -1263,7 +1294,7 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
         stage1 = _os.environ.get("RAYCORE_REGROUP_STAGE1", "sort")
     if stage1 not in ("sort", "compact"):
         raise ValueError(f"stage1 must be 'sort' or 'compact', got {stage1}")
-    if stage1 == "compact" and passes == 1:
+    if stage1 == "compact" and passes == 1 and not _occlusion:
         return _closest_hit_regrouped_cm(
             scene, rays, tile=tile, subgroup=subgroup, spb=spb,
             pairs_per_tile=pairs_per_tile, combine=combine,
@@ -1291,7 +1322,7 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
     hard = n_tiles * scene.n_clusters
     P_cap = min(pairs_per_tile * n_tiles, hard)
     ck = (id(scene.tri_feats), scene.tri_feats.shape, o.shape[0], TILE, G,
-          SPB, passes)
+          SPB, passes, _occlusion)
     cached = _cache_get(scene, ck)
     if cached is not None:
         # 4096-multiple buckets: tight enough to shrink the grouping N,
@@ -1310,7 +1341,7 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
         res, totals = _fused_query(
             scene, o, d, t_min, t_max, TILE=TILE, G=G, SPB=SPB,
             P_cap=P_cap, nb=nb_pred, interpret=interpret,
-            combine=combine, R0=R0)
+            combine=combine, R0=R0, occlusion=_occlusion)
         import numpy as _np
         if deferred:
             # Pipelined-dispatch mode: hand back the UNSYNCED result plus
@@ -1376,9 +1407,26 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
                max(prev["nb"], nb))
     res = _stage2(scene, block_cid, block_subs, tbl, o[:R0], d[:R0],
                   G=G, SPB=SPB, n_blocks=nb, interpret=interpret,
-                  combine=combine, R_pad=o.shape[0], k1=k1, p1=p1)
+                  combine=combine, R_pad=o.shape[0], k1=k1, p1=p1,
+                  occlusion=_occlusion)
     res = jax.tree_util.tree_map(
         lambda a: a.reshape(batch + a.shape[1:]), res)
     if deferred:
         return res, None        # cold path already synced; no finalizer
     return (res, None) if with_checksum else res
+
+
+def any_hit_regrouped(scene, rays, *, tile: int = 2048, subgroup: int = 32,
+                      spb: int = 16, pairs_per_tile: int = 48,
+                      with_checksum: bool = False, deferred: bool = False):
+    """Occlusion over a DenseScene via the regrouped sweep: same
+    candidate culling and MXU sweep as closest_hit_regrouped with t_min
+    forced to 0 (reference any_hit, src/instanced-bvh.jl:2045), but only
+    (hit, occluder prim, instance) are contractual — t/bary/triangle are
+    zeros and the payload finalize is skipped entirely."""
+    rays0 = rays.replace(t_min=jnp.zeros_like(rays.t_min))
+    return closest_hit_regrouped(
+        scene, rays0, tile=tile, subgroup=subgroup, spb=spb,
+        pairs_per_tile=pairs_per_tile, combine="grouped", passes=1,
+        with_checksum=with_checksum, stage1="sort", deferred=deferred,
+        _occlusion=True)

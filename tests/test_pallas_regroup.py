@@ -177,6 +177,35 @@ def test_regroup_compact_stage1_parity():
         cs, float(np.asarray(got2.t)[::257].sum()), rtol=1e-6)
 
 
+def test_any_hit_regrouped_occlusion_contract():
+    """any_hit_regrouped: hit boolean matches the brute oracle with
+    t_min=0 forced; the reported occluder must be a genuine intersection
+    within [0, t_max]; t/bary/triangle are zeros (occlusion contract)."""
+    from raycore_tpu.core.triangle import fast_intersect_triangle
+    from raycore_tpu.ops.pallas_regroup import any_hit_regrouped
+    scene, rays = _scene_and_rays(R=2048, seed=9)
+    import jax.numpy as jnp
+    rays = rays.replace(t_min=jnp.full((2048,), 0.7, jnp.float32))
+    ref = closest_hit_brute(scene.prims,
+                            rays.replace(t_min=jnp.zeros((2048,))))
+    got = any_hit_regrouped(scene, rays, tile=512)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    assert float(np.abs(np.asarray(got.t)).max()) == 0.0
+    assert float(np.abs(np.asarray(got.triangle.vertices)).max()) == 0.0
+    # Occluder validity: the reported prim really intersects the ray.
+    m = np.asarray(got.hit)
+    pid = np.asarray(got.prim_idx)[m]
+    v = np.asarray(scene.prims.vertices)[pid]
+    h, t, u, v_ = (np.asarray(x) for x in fast_intersect_triangle(
+        jnp.asarray(np.asarray(rays.o)[m]), jnp.asarray(np.asarray(rays.d)[m]),
+        jnp.asarray(v[:, 0]), jnp.asarray(v[:, 1]), jnp.asarray(v[:, 2]),
+        jnp.zeros((m.sum(),)), jnp.full((m.sum(),), np.inf)))
+    assert h.mean() > 0.999   # featurized EDGE_EPS slack allows rare edges
+    # Warm second call (fused path) agrees.
+    got2 = any_hit_regrouped(scene, rays, tile=512)
+    np.testing.assert_array_equal(np.asarray(got2.hit), np.asarray(ref.hit))
+
+
 def test_regroup_deferred_warm_path():
     """deferred=True: warm queries return (result, finalizer) with the
     totals validation deferred — the chained-dispatch bench contract.
