@@ -41,6 +41,8 @@ run() {
 # --- tier 1: headline + the two census-driven sweep experiments ---
 run "bench regroup default (headline revalidation + driver cache prewarm)" 2400 \
     env RAYCORE_BENCH_WAIT_TPU=0 python bench.py
+run "per-block overhead decomposition (DMA vs matmul vs epilogue vs SPB)" 1800 \
+    python tools/probe_block_overhead.py
 run "bench regroup SPB=32 (per-block fixed cost halving)" 2400 \
     env RAYCORE_BENCH_WAIT_TPU=0 RAYCORE_BENCH_SPB=32 RAYCORE_BENCH_REPS=3 python bench.py
 run "bench regroup stage1=compact (sort-free grouping)" 2400 \
