@@ -43,8 +43,9 @@ from ..core.triangle import safe_invdir
 from ..core.triangle import INV_DIR_CLAMP as _INV_DIR_CLAMP
 from .pallas_dense import _t_from_keys, build_worklist, phase_a_entry_bounds
 from .pallas_regroup import (COL_TMAX, COL_TMIN, INT32_MAX,
-                             combine_rows_grouped, group_flat_cluster_major,
-                             refine_pairs, run_regrouped, subgroup_stats)
+                             _tbl_mode_default, combine_rows_grouped,
+                             group_flat_cluster_major, refine_pairs,
+                             run_regrouped, subgroup_stats)
 
 
 def _bundle_entry_vs_bounds(olo, ohi, ilo, ihi, tlo, thi, bmin, bmax):
@@ -193,7 +194,8 @@ def _stage2_inst_core(scene, block_cid, block_subs, tbl, qsub, qinst, o, d,
     n_sub_dummy = int(o.shape[0] // G)  # o here is the PADDED flat rays
     key, pair = run_regrouped(block_subs, block_cid, tbl, scene.tri_feats,
                               G=G, SPB=SPB, C=C, n_blocks=nb,
-                              interpret=interpret, payload="pairrow")
+                              interpret=interpret, payload="pairrow",
+                              tbl_mode=_tbl_mode_default())
     # Map block rows -> ray subgroups through the pair table.
     qsub_ext = jnp.concatenate(
         [qsub, jnp.full((1,), n_sub_dummy, jnp.int32)])

@@ -198,58 +198,93 @@ def _kernel(subs_ref, cids_ref, *refs, C: int, G: int, SPB: int,
     @pl.when(cid >= 0)
     def _():
         tbl = jnp.concatenate([r[0] for r in tbl_refs], axis=0)  # (ROWS,16)
-        feats = feats_ref[0]                                     # (16, 4C)
-        tmin = tbl[:, COL_TMIN:COL_TMIN + 1]
-        tmax = tbl[:, COL_TMAX:COL_TMAX + 1]
-        # Zero the tmin/tmax carrier columns for the matmul: their feature
-        # rows are zero, but inf * 0 = NaN would poison every quantity.
-        cols = jax.lax.broadcasted_iota(jnp.int32, tbl.shape, 1)
-        phi_mm = jnp.where(cols >= COL_TMIN, 0.0, tbl)
-        q = jax.lax.dot_general(
-            phi_mm, feats, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_MATMUL_PRECISION)                         # (ROWS,4C)
-        det = q[:, 0 * C:1 * C]
-        udet = q[:, 1 * C:2 * C]
-        vdet = q[:, 2 * C:3 * C]
-        tdet = q[:, 3 * C:4 * C]
-        r = 1.0 / det
-        u = udet * r
-        v = vdet * r
-        t = tdet * r
-        e = edge_eps
-        ok = (u >= -e) & (u <= 1.0 + e) & (v >= -e) & (u + v <= 1.0 + e) \
-            & (t >= tmin) & (t <= tmax)
-        # Full-precision t bits as the key (strict closest semantics —
-        # no mantissa truncation), winning lane via a second reduction
-        # (measured neutral vs the packed single-reduction variant).
-        kb = jax.lax.bitcast_convert_type(jnp.maximum(t, 0.0), jnp.int32)
-        kb = jnp.where(ok, kb, INT32_MAX)
-        key_min = jnp.min(kb, axis=1, keepdims=True)             # (ROWS,1)
-        ids = jax.lax.broadcasted_iota(jnp.int32, kb.shape, 1)
-        lane = jnp.min(jnp.where(kb == key_min, ids, jnp.int32(C)),
-                       axis=1, keepdims=True)   # smallest prim on ties
-        key_out[:] = key_min
-        if payload == "pairrow":
-            # Instanced engine payload: (global block-row index, lane) —
-            # the same prim can be hit through different instances, so
-            # the winner must identify the (pair, lane), not the prim.
-            # chunk_base re-globalizes program_id across chunked calls.
-            rows = jax.lax.broadcasted_iota(jnp.int32, key_min.shape, 0)
-            base = ((chunk_base + b) * SPB + rows // G) * C
-        else:
-            base = cid * C
-        pair_out[:] = jnp.where(key_min == INT32_MAX, -1, base + lane)
+        _sweep_tbl(tbl, feats_ref[0], key_out, pair_out, cid, b,
+                   C=C, G=G, SPB=SPB, edge_eps=edge_eps, payload=payload,
+                   chunk_base=chunk_base)
+
+
+def _kernel_contig(cids_ref, tbl_ref, feats_ref, key_out, pair_out, *,
+                   C: int, G: int, SPB: int, edge_eps: float,
+                   payload: str = "prim", chunk_base: int = 0):
+    """Same sweep with the block's (ROWS, FEAT) ray table arriving as ONE
+    contiguous sequential-grid DMA instead of SPB scalar-prefetch gathers
+    (tbl_mode="contig"; the rows are materialized in block order by one
+    wide XLA gather in run_regrouped)."""
+    b = pl.program_id(0)
+    cid = cids_ref[b]
+
+    @pl.when(cid >= 0)
+    def _():
+        _sweep_tbl(tbl_ref[0], feats_ref[0], key_out, pair_out, cid, b,
+                   C=C, G=G, SPB=SPB, edge_eps=edge_eps, payload=payload,
+                   chunk_base=chunk_base)
+
+
+def _sweep_tbl(tbl, feats, key_out, pair_out, cid, b, *, C: int, G: int,
+               SPB: int, edge_eps: float, payload: str, chunk_base: int):
+    tmin = tbl[:, COL_TMIN:COL_TMIN + 1]
+    tmax = tbl[:, COL_TMAX:COL_TMAX + 1]
+    # Zero the tmin/tmax carrier columns for the matmul: their feature
+    # rows are zero, but inf * 0 = NaN would poison every quantity.
+    cols = jax.lax.broadcasted_iota(jnp.int32, tbl.shape, 1)
+    phi_mm = jnp.where(cols >= COL_TMIN, 0.0, tbl)
+    q = jax.lax.dot_general(
+        phi_mm, feats, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_MATMUL_PRECISION)                         # (ROWS,4C)
+    det = q[:, 0 * C:1 * C]
+    udet = q[:, 1 * C:2 * C]
+    vdet = q[:, 2 * C:3 * C]
+    tdet = q[:, 3 * C:4 * C]
+    r = 1.0 / det
+    u = udet * r
+    v = vdet * r
+    t = tdet * r
+    e = edge_eps
+    ok = (u >= -e) & (u <= 1.0 + e) & (v >= -e) & (u + v <= 1.0 + e) \
+        & (t >= tmin) & (t <= tmax)
+    # Full-precision t bits as the key (strict closest semantics —
+    # no mantissa truncation), winning lane via a second reduction
+    # (measured neutral vs the packed single-reduction variant).
+    kb = jax.lax.bitcast_convert_type(jnp.maximum(t, 0.0), jnp.int32)
+    kb = jnp.where(ok, kb, INT32_MAX)
+    key_min = jnp.min(kb, axis=1, keepdims=True)             # (ROWS,1)
+    ids = jax.lax.broadcasted_iota(jnp.int32, kb.shape, 1)
+    lane = jnp.min(jnp.where(kb == key_min, ids, jnp.int32(C)),
+                   axis=1, keepdims=True)   # smallest prim on ties
+    key_out[:] = key_min
+    if payload == "pairrow":
+        # Instanced engine payload: (global block-row index, lane) —
+        # the same prim can be hit through different instances, so
+        # the winner must identify the (pair, lane), not the prim.
+        # chunk_base re-globalizes program_id across chunked calls.
+        rows = jax.lax.broadcasted_iota(jnp.int32, key_min.shape, 0)
+        base = ((chunk_base + b) * SPB + rows // G) * C
+    else:
+        base = cid * C
+    pair_out[:] = jnp.where(key_min == INT32_MAX, -1, base + lane)
 
 
 REGROUP_CHUNK = 4096    # blocks per pallas_call (scalar ids live in SMEM)
 
 
+def _tbl_mode_default() -> str:
+    """Sweep ray-table delivery: "gather" = SPB scalar-prefetch BlockSpec
+    DMAs per block (no materialization); "contig" = materialize the block
+    rows with one wide XLA gather (bandwidth-bound; tbl rows are 2 KB so
+    the gather runs at ~row-latency over n_blocks*SPB rows, ~2-3 ms at
+    the 1M-ray headline) and stream them as ONE sequential-grid DMA per
+    block. Worth it iff the per-block scalar-prefetch gather cost exceeds
+    ~0.25 us/subgroup (tools/probe_block_overhead.py measures exactly
+    this gap). Env: RAYCORE_REGROUP_TBL, resolved at trace time."""
+    return _os.environ.get("RAYCORE_REGROUP_TBL", "gather")
+
+
 @partial(jax.jit, static_argnames=("G", "SPB", "C", "n_blocks", "interpret",
-                                   "payload"))
+                                   "payload", "tbl_mode"))
 def run_regrouped(block_subs, block_cid, tbl, feats, *, G: int, SPB: int,
                   C: int, n_blocks: int, interpret: bool,
-                  payload: str = "prim"):
+                  payload: str = "prim", tbl_mode: str = "gather"):
     """Sweep ``n_blocks`` cluster-major blocks. Returns (key, pair) of
     shape (n_blocks*SPB*G,) in block-row order (use block_subs for the
     row -> ray mapping). payload="pairrow" makes the winner id encode
@@ -269,26 +304,47 @@ def run_regrouped(block_subs, block_cid, tbl, feats, *, G: int, SPB: int,
     for ch in range(n_chunks):
         lo = ch * REGROUP_CHUNK
         sz = min(REGROUP_CHUNK, n_blocks - lo)
-        kernel = partial(_kernel, C=C, G=G, SPB=SPB, edge_eps=1e-5,
-                         payload=payload, chunk_base=lo)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(sz,),
-            in_specs=[tbl_spec(s) for s in range(SPB)] + [
-                pl.BlockSpec((1, FEAT, 4 * C),
-                             lambda b, subs, cids: (jnp.maximum(cids[b], 0),
-                                                    0, 0)),
-            ],
-            out_specs=[pl.BlockSpec((ROWS, 1), lambda b, subs, cids: (b, 0))
-                       ] * 2,
-        )
+        if tbl_mode == "contig":
+            tblb = jnp.take(tbl, block_subs[lo:lo + sz].reshape(-1),
+                            axis=0).reshape(sz, ROWS, FEAT)
+            kernel = partial(_kernel_contig, C=C, G=G, SPB=SPB,
+                             edge_eps=1e-5, payload=payload, chunk_base=lo)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(sz,),
+                in_specs=[
+                    pl.BlockSpec((1, ROWS, FEAT),
+                                 lambda b, cids: (b, 0, 0)),
+                    pl.BlockSpec((1, FEAT, 4 * C),
+                                 lambda b, cids: (jnp.maximum(cids[b], 0),
+                                                  0, 0)),
+                ],
+                out_specs=[pl.BlockSpec((ROWS, 1), lambda b, cids: (b, 0))
+                           ] * 2,
+            )
+            ins = (block_cid[lo:lo + sz], tblb, feats)
+        else:
+            kernel = partial(_kernel, C=C, G=G, SPB=SPB, edge_eps=1e-5,
+                             payload=payload, chunk_base=lo)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(sz,),
+                in_specs=[tbl_spec(s) for s in range(SPB)] + [
+                    pl.BlockSpec((1, FEAT, 4 * C),
+                                 lambda b, subs, cids: (
+                                     jnp.maximum(cids[b], 0), 0, 0)),
+                ],
+                out_specs=[pl.BlockSpec((ROWS, 1),
+                                        lambda b, subs, cids: (b, 0))] * 2,
+            )
+            ins = (block_subs[lo:lo + sz].reshape(-1),
+                   block_cid[lo:lo + sz]) + tuple([tbl] * SPB) + (feats,)
         k, p = pl.pallas_call(
             kernel, grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((sz * ROWS, 1), jnp.int32)] * 2,
             compiler_params=_VMEM_PARAMS,
             interpret=interpret,
-        )(block_subs[lo:lo + sz].reshape(-1), block_cid[lo:lo + sz],
-          *([tbl] * SPB), feats)
+        )(*ins)
         keys.append(k[:, 0])
         pairs.append(p[:, 0])
     if not keys:
@@ -556,7 +612,8 @@ def _stage1_pruned(scene, o, d, t_min, t_max, *, TILE: int, G: int,
         jnp.arange(n_sub, dtype=jnp.int32), jnp.minimum(chosen, K - 1),
         chosen < K, SPB=SPB, n_sub=n_sub, B_cap=B1, K=K)
     k1r, p1r = run_regrouped(bs1, bc1, tbl, scene.tri_feats, G=G, SPB=SPB,
-                             C=C, n_blocks=B1, interpret=interpret)
+                             C=C, n_blocks=B1, interpret=interpret,
+                             tbl_mode=_tbl_mode_default())
     k1, p1 = combine_rows_grouped(k1r, p1r, bs1, B1, G, SPB, n_sub)
 
     # Per-subgroup upper bound on the remaining useful entry t.
@@ -971,7 +1028,8 @@ def _stage2_core(scene, block_cid, block_subs, tbl, o, d, G, SPB,
     n_sub = R_pad // G
     key, pair = run_regrouped(block_subs, block_cid, tbl, scene.tri_feats,
                               G=G, SPB=SPB, C=C, n_blocks=n_blocks,
-                              interpret=interpret)
+                              interpret=interpret,
+                              tbl_mode=_tbl_mode_default())
     if combine == "grouped":
         out_key, out_pair = combine_rows_grouped(
             key, pair, block_subs, n_blocks, G, SPB, n_sub)

@@ -291,3 +291,42 @@ def test_packed_with_checksum_warm_path():
                                   np.asarray(res1.prim_idx))
     ref = closest_hit_brute(scene.prims, rays)
     _check(ref, res1)
+
+
+def test_run_regrouped_contig_tbl_mode_matches_gather():
+    """tbl_mode="contig" (block rows materialized by one wide XLA gather,
+    one sequential-grid DMA per block) must produce bit-identical keys
+    and pairs to the default scalar-prefetch gather mode, including
+    padding blocks (cid == -1) and dummy-subgroup slots."""
+    from raycore_tpu.ops.pallas_regroup import run_regrouped
+    from raycore_tpu.accel.dense import FEAT
+    rng = np.random.default_rng(3)
+    G, SPB, C, n_sub, K, n_blocks = 8, 4, 16, 20, 6, 12
+    tbl = rng.normal(size=(n_sub + 1, G, FEAT)).astype(np.float32)
+    tbl[:, :, 13] = 0.0                  # t_min
+    tbl[:, :, 14] = 10.0                 # t_max
+    tbl[-1, :, 14] = -np.inf             # dummy subgroup never hits
+    feats = rng.normal(size=(K, FEAT, 4 * C)).astype(np.float32)
+    subs = rng.integers(0, n_sub + 1, (n_blocks, SPB)).astype(np.int32)
+    cids = rng.integers(0, K, (n_blocks,)).astype(np.int32)
+    cids[3] = -1                         # padding block
+    cids[7] = -1
+    kw = dict(G=G, SPB=SPB, C=C, n_blocks=n_blocks, interpret=True)
+    kg, pg = run_regrouped(jnp.asarray(subs), jnp.asarray(cids),
+                           jnp.asarray(tbl), jnp.asarray(feats), **kw)
+    kc, pc = run_regrouped(jnp.asarray(subs), jnp.asarray(cids),
+                           jnp.asarray(tbl), jnp.asarray(feats),
+                           tbl_mode="contig", **kw)
+    np.testing.assert_array_equal(np.asarray(kg), np.asarray(kc))
+    np.testing.assert_array_equal(np.asarray(pg), np.asarray(pc))
+    assert int(np.asarray(kg)[0]) != 0   # sweep actually produced keys
+
+
+def test_regroup_contig_tbl_end_to_end(monkeypatch):
+    """End-to-end regroup query with RAYCORE_REGROUP_TBL=contig vs the
+    brute oracle (fresh ray count so the stage graphs re-trace and pick
+    up the env at trace time)."""
+    monkeypatch.setenv("RAYCORE_REGROUP_TBL", "contig")
+    scene, rays = _scene_and_rays(R=896, seed=11)
+    ref = closest_hit_brute(scene.prims, rays)
+    _check(ref, closest_hit_regrouped(scene, rays, tile=448, passes=1))

@@ -45,6 +45,8 @@ run "per-block overhead decomposition (DMA vs matmul vs epilogue vs SPB)" 1800 \
     python tools/probe_block_overhead.py
 run "bench regroup SPB=32 (per-block fixed cost halving)" 2400 \
     env RAYCORE_BENCH_WAIT_TPU=0 RAYCORE_BENCH_SPB=32 RAYCORE_BENCH_REPS=3 python bench.py
+run "bench regroup tbl=contig (one sequential tbl DMA per block)" 2400 \
+    env RAYCORE_BENCH_WAIT_TPU=0 RAYCORE_REGROUP_TBL=contig RAYCORE_BENCH_REPS=3 python bench.py
 run "bench regroup stage1=compact (sort-free grouping)" 2400 \
     env RAYCORE_BENCH_WAIT_TPU=0 RAYCORE_REGROUP_STAGE1=compact RAYCORE_BENCH_REPS=3 python bench.py
 run "bench regroup stage1=compact worklist=scatter (O(N) compaction)" 2400 \
@@ -55,6 +57,9 @@ run "bench packed SUBC=4 (sub-cluster candidates)" 3600 \
     env RAYCORE_BENCH_WAIT_TPU=0 RAYCORE_BENCH_ENGINE=packed RAYCORE_BENCH_REPS=3 python bench.py
 run "parity regroup vs brute (on-device)" 2400 python tools/tpu_parity_regroup.py
 run "parity packed vs brute (on-device)" 2400 env PARITY_ENGINE=packed python tools/tpu_parity_regroup.py
+
+run "path tracer warm frame (VERDICT r3 task 4 done-bar: <10 s)" 5400 \
+    python tools/tpu_pathtracer_bench.py
 
 # --- tier 2: BASELINE scale matrix (VERDICT r3 task 6) ---
 run "bench 250K tris / 1M rays" 1800 \

@@ -1,0 +1,93 @@
+"""Warm-frame timing for the staged path tracer (VERDICT r3 task 4
+done-bar: warm 1024x1024 / 4-bounce / 1M-tri frame < 10 s, from the
+round-2 30.3 s measured with the tile-worklist engine).
+
+Workload: BASELINE config #5 shape — 1M-tri displaced heightfield,
+1024x1024, spp=1, 4 bounces, 2 point lights, mixed matte/metal
+materials. Timing via a value-dependent host readback of the image
+(block_until_ready lies on the tunneled backend — see bench.py).
+
+Usage (TPU): python tools/tpu_pathtracer_bench.py [side] [n_tris]
+Smoke (CPU): RAYCORE_PT_SMOKE=1 python tools/tpu_pathtracer_bench.py
+"""
+import os
+import sys
+import time
+
+if os.environ.get("RAYCORE_PT_SMOKE") and os.environ.get(
+        "PALLAS_AXON_POOL_IPS"):
+    env = dict(os.environ)
+    del env["PALLAS_AXON_POOL_IPS"]
+    env["JAX_PLATFORMS"] = "cpu"
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import raycore_tpu as rc
+from raycore_tpu.accel.dense import build_dense
+from raycore_tpu.render.pathtracer import PTConfig, trace_paths_staged
+from raycore_tpu.render.wavefront import Materials, PointLights, Camera
+
+
+def main():
+    smoke = bool(os.environ.get("RAYCORE_PT_SMOKE"))
+    side = int(sys.argv[1]) if len(sys.argv) > 1 else (64 if smoke else 1024)
+    n_tris = int(sys.argv[2]) if len(sys.argv) > 2 else (
+        20_000 if smoke else 1_000_000)
+    grid_n = int(np.sqrt(n_tris / 2))
+    mesh = rc.displaced_grid_mesh(n=grid_n, extent=2.0, amplitude=0.35)
+    # Two materials in a checker pattern over triangle index.
+    meta = (jnp.arange(mesh.batch_shape[0], dtype=jnp.uint32) // 64) % 2
+    mesh = mesh.replace(metadata=meta)
+    scene = build_dense(mesh, cluster_size=128)
+    float(scene.tri_feats[0, 0, 0])
+    print(f"{mesh.batch_shape[0]} tris, {side}x{side}, 4 bounces, "
+          f"backend={jax.default_backend()}", flush=True)
+
+    mats = Materials.create(
+        base_color=np.array([[0.75, 0.72, 0.68], [0.9, 0.85, 0.8]],
+                            np.float32),
+        metallic=np.array([0.0, 0.85], np.float32),
+        roughness=np.array([0.8, 0.15], np.float32))
+    lights = PointLights(
+        position=jnp.asarray([[2.5, -2.5, 4.0], [-2.0, 2.0, 3.5]],
+                             jnp.float32),
+        intensity=jnp.asarray([[18.0, 17.0, 16.0], [6.0, 7.0, 9.0]],
+                              jnp.float32))
+    cam = Camera.create(position=(0.0, -3.2, 2.4), target=(0.0, 0.0, 0.3),
+                        up=(0, 0, 1), fov_deg=55.0)
+    cfg = PTConfig(width=side, height=side, spp=1, bounces=4,
+                   tile_size=2048)
+
+    def frame(i):
+        img = trace_paths_staged(scene, mats, lights, cam,
+                                 jax.random.PRNGKey(i), cfg)
+        # Value-dependent readback = honest completion barrier.
+        return float(jnp.sum(img[::7, ::7].astype(jnp.float32))), img
+
+    t0 = time.time()
+    s, img = frame(0)
+    cold = time.time() - t0
+    print(f"cold frame: {cold:.2f} s (checksum {s:.3f})", flush=True)
+    warms = []
+    for i in range(1, 4 if not smoke else 2):
+        t0 = time.time()
+        s, img = frame(i)
+        warms.append(time.time() - t0)
+        print(f"warm frame {i}: {warms[-1]:.2f} s", flush=True)
+    best = min(warms)
+    rays = side * side * cfg.bounces * 2      # closest + shadow per bounce
+    print(f"best warm: {best:.2f} s  (~{rays / best / 1e6:.2f} Mrays/s "
+          f"over {rays / 1e6:.1f}M queries/frame)", flush=True)
+    arr = np.asarray(img)
+    assert arr.std() > 0.01 and 0.0 <= arr.min() and arr.max() <= 1.0
+    print("image sanity ok")
+
+
+if __name__ == "__main__":
+    main()
