@@ -64,6 +64,16 @@ def main():
     cfg = PTConfig(width=side, height=side, spp=1, bounces=4,
                    tile_size=2048)
 
+    # Warm the regrouped engines for the frame's query shape so dispatch
+    # auto-routes every bounce's closest/occlusion query to the fastest
+    # engine (the product-default story: prewarm once, then all renderer
+    # pipelines ride the warm fused paths — accel/dispatch.py).
+    R = side * side * cfg.spp
+    t0 = time.time()
+    warm_s = rc.prewarm(scene, R)
+    print(f"prewarm({R} rays): {warm_s:.1f} s "
+          f"(total {time.time() - t0:.1f} s)", flush=True)
+
     def frame(i):
         img = trace_paths_staged(scene, mats, lights, cam,
                                  jax.random.PRNGKey(i), cfg)
