@@ -62,11 +62,15 @@ def _dense_query(scene, rays, tile_size):
                                           has_warm_capacity,
                                           has_warm_capacity_packed)
         opt_in = os.environ.get("RAYCORE_DISPATCH_REGROUP", "0") == "1"
+        # A warm packed engine wins for ANY scene form (SUBC=1 scenes
+        # run it at cluster granularity — rc.prewarm(engine="packed")
+        # is the opt-in that makes it this scene's default).
+        if has_warm_capacity_packed(scene, n_rays):
+            return closest_hit_packed(scene, rays, tile=2048)
         if scene.sub_chunks == 1 and (
                 opt_in or has_warm_capacity(scene, n_rays)):
             return closest_hit_regrouped(scene, rays, tile=2048, passes=1)
-        if scene.sub_chunks >= 2 and (
-                opt_in or has_warm_capacity_packed(scene, n_rays)):
+        if scene.sub_chunks >= 2 and opt_in:
             return closest_hit_packed(scene, rays, tile=2048)
     from ..ops.pallas_dense import closest_hit_dense_pallas_auto
     return closest_hit_dense_pallas_auto(scene, rays,

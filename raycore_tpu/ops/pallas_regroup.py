@@ -1146,9 +1146,9 @@ def has_warm_capacity(scene, n_rays: int, *, tile: int = 2048,
 def has_warm_capacity_packed(scene, n_rays: int, *, tile: int = 2048,
                              subgroup: int = 32, spb_sub: int = 2,
                              packs: int = 8) -> bool:
-    """Packed-engine analogue of has_warm_capacity."""
-    if getattr(scene, "sub_chunks", 1) < 2:
-        return False
+    """Packed-engine analogue of has_warm_capacity. SUBC=1 scenes are
+    legitimate here (cluster-granularity candidates, block-diagonal
+    K-packing — see closest_hit_packed); warmth is purely a cache fact."""
     G, TILE, Rp = _shape_params(n_rays, tile, subgroup)
     ck = (id(scene.tri_feats), scene.tri_feats.shape, Rp, TILE, G,
           spb_sub, packs)

@@ -265,6 +265,36 @@ def test_dispatch_routes_warm_regroup(monkeypatch):
                                np.asarray(cold.t)[m], rtol=1e-5, atol=1e-6)
 
 
+def test_dispatch_routes_warm_packed_subc1(monkeypatch):
+    """A SUBC=1 scene explicitly prewarmed for the PACKED engine
+    (cluster-granularity candidates, block-diagonal K-packing) must
+    auto-route through dispatch — the opt-in that makes packed the
+    product default when it wins the bench on sub_chunks=1 scenes."""
+    from raycore_tpu.accel import dispatch as disp
+    from raycore_tpu.accel.dense import build_dense
+    from raycore_tpu.ops.pallas_regroup import has_warm_capacity_packed
+    import raycore_tpu as rc_
+    mesh = rc_.displaced_grid_mesh(n=24, extent=2.0, amplitude=0.3)
+    scene = build_dense(mesh, cluster_size=64)      # sub_chunks == 1
+    n = 45 * 45
+    monkeypatch.setattr(disp, "REGROUP_MIN_RAYS", n)
+    xs = jnp.linspace(-0.9, 0.9, 45)
+    X, Y = jnp.meshgrid(xs, xs, indexing="ij")
+    o = jnp.stack([X, Y, jnp.full_like(X, 2.0)], -1).reshape(-1, 3)
+    rays = rc_.Ray.create(o=o, d=jnp.broadcast_to(
+        jnp.asarray([0.0, 0, -1.0]), o.shape))
+    assert not has_warm_capacity_packed(scene, n)
+    cold = disp.scene_closest_hit(scene, rays)        # worklist engine
+    rc_.prewarm(scene, n, engine="packed")
+    assert has_warm_capacity_packed(scene, n)
+    warm = disp.scene_closest_hit(scene, rays)        # packed engine
+    np.testing.assert_array_equal(np.asarray(cold.hit),
+                                  np.asarray(warm.hit))
+    m = np.asarray(cold.hit)
+    np.testing.assert_allclose(np.asarray(warm.t)[m],
+                               np.asarray(cold.t)[m], rtol=1e-5, atol=1e-6)
+
+
 def test_wavefront_reflection_roughness_jitter():
     """Parity with the reference's generate_reflection_rays! roughness
     jitter (docs/src/wavefront-renderer.jl:457-459): with the SAME key,
