@@ -397,7 +397,12 @@ def inner():
     # that the reference's device-local GPU dispatch never pays; the
     # deferred finalizers are validated afterwards, so a capacity miss
     # discards the chained number rather than trusting a wrong result.
+    # VERDICT r3 weak #5 / task 8: `value` is ALWAYS the per-rep number
+    # (one query, one sync — comparable across all rounds). The chained
+    # number is emitted as a separate top-level `chain_mrays` field, never
+    # max()ed into `value`.
     chain = int(os.environ.get("RAYCORE_BENCH_CHAIN", 4))
+    top_extra = {}
     if run_deferred is not None and chain > 1 and _remaining() > 60 \
             and not detail.get("reps_truncated"):
         outs = []
@@ -409,16 +414,12 @@ def inner():
         ok = all(f is None or f() is not None for _, f in outs)
         if ok:
             chain_mrays = chain * n_rays / chain_s / 1e6
-            detail.update(chain_n=chain, chain_s=round(chain_s, 5),
-                          chain_mrays=round(chain_mrays, 4),
-                          per_rep_mrays=round(mrays, 4))
-            if chain_mrays > mrays:
-                mrays = chain_mrays
-                detail["timing"] = f"chained-{chain}"
-            checkpoint("chain", value=mrays, detail=detail)
+            detail.update(chain_n=chain, chain_s=round(chain_s, 5))
+            top_extra["chain_mrays"] = round(chain_mrays, 4)
+            checkpoint("chain", value=mrays, detail=detail, **top_extra)
 
     print(json.dumps({"detail": detail}), file=sys.stderr, flush=True)
-    _write_checkpoint(ckpt, _result_line(mrays, detail=detail))
+    _write_checkpoint(ckpt, _result_line(mrays, detail=detail, **top_extra))
     return 0
 
 

@@ -1,0 +1,123 @@
+"""Persistent per-(scene-shape, engine, query-shape) capacity hints.
+
+The regroup/packed engines auto-size their worklist capacities from one
+totals readback and remember the result in process-local caches
+(`pallas_regroup._CAPACITY_CACHE` / `_PACKED_CACHE`). That memory is what
+`accel.dispatch` consults to auto-route big queries to the fast engines —
+but a process-local cache means every FRESH process (the bench driver, any
+user script) pays the slow tile-worklist path on query 1 unless it calls
+`rc.prewarm` (round-3 verdict weak #6).
+
+This module persists those hints to a small JSON file next to the JAX
+persistent compile cache. The disk key drops the process-local
+`id(scene.tri_feats)` component: two scenes with the same tri_feats shape
+share predictions. That is safe — capacity predictions are validated
+post-hoc by every engine (packed totals readback; overflow retries with
+doubling; the fused one-dispatch path falls back to two-stage on any
+miss), so a stale or wrong hint costs one fallback dispatch, never
+correctness. Compiled executables are likewise recovered from the JAX
+persistent compile cache (`JAX_COMPILATION_CACHE_DIR`), so a fresh
+process with a hint routes to the fast engine and mostly skips the
+multi-minute remote stage-graph compile the routing gate was guarding
+against.
+
+Disable with RAYCORE_PERSIST_CAPACITY=0.
+
+Reference parity note: the reference has no cross-process state (Julia
+recompiles per session); this is TPU-native plumbing for remote-compiler
+backends. See VERDICT.md round-3 task 7.
+"""
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+_LOCK = threading.Lock()
+_LOADED: dict | None = None
+_LOADED_PATH: str | None = None
+
+
+def _enabled() -> bool:
+    return os.environ.get("RAYCORE_PERSIST_CAPACITY", "1") != "0"
+
+
+def _path() -> str | None:
+    if not _enabled():
+        return None
+    d = os.environ.get("RAYCORE_CAPACITY_DIR") \
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR") \
+        or "/tmp/jax_cache_tpu"
+    return os.path.join(d, "raycore_capacity_hints.json")
+
+
+def _load() -> dict:
+    global _LOADED, _LOADED_PATH
+    p = _path()
+    if p is None:
+        return {}
+    with _LOCK:
+        if _LOADED is not None and _LOADED_PATH == p:
+            return _LOADED
+        try:
+            with open(p) as f:
+                _LOADED = json.load(f)
+        except (OSError, ValueError):
+            _LOADED = {}
+        _LOADED_PATH = p
+        return _LOADED
+
+
+def persist_key(ck: tuple) -> str:
+    """Disk key for an engine cache key: drop the leading process-local
+    id(), keep everything shape/param-shaped, tag with the backend (a
+    CPU-interpret warmup must not convince a TPU process it is warm)."""
+    import jax
+    return repr((jax.default_backend(),) + tuple(ck[1:]))
+
+
+def load_hint(ck: tuple) -> dict | None:
+    """Persisted capacity fields for this key, or None."""
+    ent = _load().get(persist_key(ck))
+    return dict(ent) if isinstance(ent, dict) else None
+
+
+def save_hint(ck: tuple, ent: dict) -> None:
+    """Write-through one hint (sticky-max merge with what's on disk).
+    Last-writer-wins across processes; hints are advisory so a lost
+    update is harmless."""
+    p = _path()
+    if p is None:
+        return
+    fields = {k: int(v) for k, v in ent.items()
+              if isinstance(v, (int, float)) and k != "ref"}
+    if not fields:
+        return
+    pk = persist_key(ck)
+    with _LOCK:
+        try:
+            try:
+                with open(p) as f:
+                    cur = json.load(f)
+            except (OSError, ValueError):
+                cur = {}
+            old = cur.get(pk)
+            if isinstance(old, dict):
+                for k, v in old.items():
+                    if isinstance(v, (int, float)):
+                        fields[k] = max(fields.get(k, 0), int(v))
+            if old == fields:
+                return
+            cur[pk] = fields
+            if len(cur) > 512:      # FIFO bound, mirrors the RAM caches
+                for k in list(cur)[:len(cur) - 512]:
+                    del cur[k]
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            tmp = p + f".tmp{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(cur, f)
+            os.replace(tmp, p)
+            global _LOADED, _LOADED_PATH
+            _LOADED, _LOADED_PATH = cur, p
+        except OSError:
+            pass

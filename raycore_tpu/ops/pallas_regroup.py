@@ -47,6 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os as _os
 
+from . import capacity_store as _cap_store
 from ..core.triangle import safe_invdir
 from ..core.triangle import INV_DIR_CLAMP as _INV_DIR_CLAMP
 from .pallas_dense import (FEAT, _MATMUL_PRECISION, _VMEM_PARAMS, _t_from_keys,
@@ -748,6 +749,31 @@ def _fused_query_packed(scene, o, d, t_min, t_max, *, TILE: int, G: int,
 _PACKED_CACHE: dict = {}
 
 
+def _packed_get(scene, ck):
+    ent = _PACKED_CACHE.get(ck)
+    if ent is not None:
+        if ent.get("ref", lambda: None)() is scene.tri_feats:
+            return ent
+        del _PACKED_CACHE[ck]
+        return None
+    hint = _cap_store.load_hint(ck)     # cross-process hint (validated)
+    if hint is not None:
+        import weakref as _wr
+        try:
+            hint["ref"] = _wr.ref(scene.tri_feats)
+        except TypeError:
+            hint["ref"] = lambda: None
+        _PACKED_CACHE[ck] = hint
+    return hint
+
+
+def _packed_put(scene, ck, p, q, nb):
+    import weakref as _wr
+    _PACKED_CACHE[ck] = dict(p=p, q=q, nb=nb,
+                             ref=_wr.ref(scene.tri_feats))
+    _cap_store.save_hint(ck, _PACKED_CACHE[ck])
+
+
 def closest_hit_packed(scene, rays, *, tile: int = 2048, subgroup: int = 32,
                        spb_sub: int = 2, packs: int = 8,
                        pairs_per_tile: int = 48, with_checksum: bool = False,
@@ -798,15 +824,12 @@ def closest_hit_packed(scene, rays, *, tile: int = 2048, subgroup: int = 32,
     Q_cap = min(max(4096, 8 * n_sub), hard_q)
     ck = (id(scene.tri_feats), scene.tri_feats.shape, o.shape[0], TILE, G,
           spb_sub, packs)
-    cached = _PACKED_CACHE.get(ck)
-    if cached is not None and cached.get("ref", lambda: None)() \
-            is scene.tri_feats:
+    cached = _packed_get(scene, ck)
+    if cached is not None:
         P_cap = min(max(4096, -(-int(cached["p"] * 1.2) // 4096) * 4096),
                     hard_p)
         Q_cap = min(max(4096, -(-int(cached["q"] * 1.2) // 4096) * 4096),
                     hard_q)
-    else:
-        cached = None
 
     reshape_out = lambda res: jax.tree_util.tree_map(
         lambda a: a.reshape(batch + a.shape[1:]), res)
@@ -829,11 +852,10 @@ def closest_hit_packed(scene, rays, *, tile: int = 2048, subgroup: int = 32,
                     coarse, q_total, total = (int(x) for x in tarr[:3])
                     if coarse <= P_cap and q_total <= Q_cap \
                             and total <= nb_pred:
-                        _PACKED_CACHE[ck] = dict(
-                            p=max(cached["p"], coarse),
-                            q=max(cached["q"], q_total),
-                            nb=max(cached["nb"], nb_pred),
-                            ref=_weakref.ref(scene.tri_feats))
+                        _packed_put(scene, ck,
+                                    p=max(cached["p"], coarse),
+                                    q=max(cached["q"], q_total),
+                                    nb=max(cached["nb"], nb_pred))
                         return float(tarr[3:4].view(_np.float32)[0])
                     return None
                 return reshape_out(res), _finalize
@@ -842,10 +864,10 @@ def closest_hit_packed(scene, rays, *, tile: int = 2048, subgroup: int = 32,
             if coarse <= P_cap and q_total <= Q_cap and total <= nb_pred:
                 # Sticky-max (see closest_hit_regrouped): shrinking
                 # workloads must not move to smaller capacity buckets.
-                _PACKED_CACHE[ck] = dict(
-                    p=max(cached["p"], coarse), q=max(cached["q"], q_total),
-                    nb=max(cached["nb"], nb_pred),
-                    ref=_weakref.ref(scene.tri_feats))
+                _packed_put(scene, ck,
+                            p=max(cached["p"], coarse),
+                            q=max(cached["q"], q_total),
+                            nb=max(cached["nb"], nb_pred))
                 if with_checksum:
                     return reshape_out(res), float(
                         tarr[3:4].view(_np.float32)[0])
@@ -874,10 +896,9 @@ def closest_hit_packed(scene, rays, *, tile: int = 2048, subgroup: int = 32,
     nb = max(nb, -(-total // packs) * packs)
     assert nb * 1 >= total and nb % packs == 0
     prev = cached or dict(p=0, q=0, nb=0)
-    _PACKED_CACHE[ck] = dict(p=max(prev["p"], coarse),
-                             q=max(prev["q"], q_total),
-                             nb=max(prev.get("nb", 0), nb),
-                             ref=_weakref.ref(scene.tri_feats))
+    _packed_put(scene, ck, p=max(prev["p"], coarse),
+                q=max(prev["q"], q_total),
+                nb=max(prev.get("nb", 0), nb))
     res = _stage2_packed(scene, block_cid, block_subs, tbl, o[:R0],
                          d[:R0], G=G, SPB_sub=spb_sub, PACKS=packs,
                          nb=nb, R0=R0, interpret=interpret)
@@ -1097,7 +1118,19 @@ _CAPACITY_CACHE_MAX = 64
 def _cache_get(scene, ck):
     ent = _CAPACITY_CACHE.get(ck)
     if ent is None:
-        return None
+        # Fresh process / fresh scene: adopt a persisted hint from a
+        # previous process at this (shape, params) key. Safe because
+        # every prediction is validated post-hoc (capacity_store.py).
+        hint = _cap_store.load_hint(ck)
+        if hint is not None:
+            try:
+                hint["ref"] = _weakref.ref(scene.tri_feats)
+            except TypeError:
+                hint["ref"] = None
+            while len(_CAPACITY_CACHE) >= _CAPACITY_CACHE_MAX:
+                _CAPACITY_CACHE.pop(next(iter(_CAPACITY_CACHE)))
+            _CAPACITY_CACHE[ck] = hint
+        return hint
     if ent.get("ref") is not None and ent["ref"]() is not scene.tri_feats:
         del _CAPACITY_CACHE[ck]         # stale: id was recycled
         return None
@@ -1112,6 +1145,7 @@ def _cache_put(scene, ck, coarse, nb):
     while len(_CAPACITY_CACHE) >= _CAPACITY_CACHE_MAX:
         _CAPACITY_CACHE.pop(next(iter(_CAPACITY_CACHE)))
     _CAPACITY_CACHE[ck] = dict(coarse=coarse, nb=nb, ref=ref)
+    _cap_store.save_hint(ck, _CAPACITY_CACHE[ck])
 
 
 def _next_pow2(n: int) -> int:
@@ -1152,9 +1186,7 @@ def has_warm_capacity_packed(scene, n_rays: int, *, tile: int = 2048,
     G, TILE, Rp = _shape_params(n_rays, tile, subgroup)
     ck = (id(scene.tri_feats), scene.tri_feats.shape, Rp, TILE, G,
           spb_sub, packs)
-    ent = _PACKED_CACHE.get(ck)
-    return (ent is not None
-            and ent.get("ref", lambda: None)() is scene.tri_feats)
+    return _packed_get(scene, ck) is not None
 
 
 def prewarm(scene, n_rays: int, *, engine: str = "auto", tile: int = 2048,
@@ -1319,6 +1351,7 @@ def _cache_put_cm(scene, ck, coarse, q, nb):
     while len(_CAPACITY_CACHE) >= _CAPACITY_CACHE_MAX:
         _CAPACITY_CACHE.pop(next(iter(_CAPACITY_CACHE)))
     _CAPACITY_CACHE[ck] = dict(coarse=coarse, q=q, nb=nb, ref=ref)
+    _cap_store.save_hint(ck, _CAPACITY_CACHE[ck])
 
 
 def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,

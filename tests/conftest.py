@@ -11,6 +11,12 @@ import os
 # TPU/axon entries compiled with different host-feature flags).
 os.environ["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache_cpu_tests"
 
+# Fresh per-session capacity-hint store: hints persist across processes by
+# design (ops/capacity_store.py), but tests assert cold-routing states.
+import tempfile  # noqa: E402
+os.environ["RAYCORE_CAPACITY_DIR"] = tempfile.mkdtemp(
+    prefix="raycore_caphints_")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

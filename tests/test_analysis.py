@@ -295,6 +295,50 @@ def test_dispatch_routes_warm_packed_subc1(monkeypatch):
                                np.asarray(cold.t)[m], rtol=1e-5, atol=1e-6)
 
 
+def test_warm_capacity_survives_process_restart(monkeypatch, tmp_path):
+    """VERDICT r3 task 7: capacity hints persist next to the compile
+    cache, so a FRESH process (simulated here by clearing the in-memory
+    caches) still routes query 1 to the fast engine and the fused path
+    uses the persisted capacity predictions."""
+    from raycore_tpu.accel.dense import build_dense
+    from raycore_tpu.ops import capacity_store, pallas_regroup as pr
+    import raycore_tpu as rc_
+    monkeypatch.setenv("RAYCORE_CAPACITY_DIR", str(tmp_path))
+    monkeypatch.setattr(capacity_store, "_LOADED", None)
+    mesh = rc_.displaced_grid_mesh(n=24, extent=2.0, amplitude=0.3)
+    scene = build_dense(mesh, cluster_size=64)
+    n = 45 * 45
+    assert not pr.has_warm_capacity(scene, n)
+    rc_.prewarm(scene, n, engine="regroup")
+    assert pr.has_warm_capacity(scene, n)
+    # "Process restart": wipe RAM caches + the store's loaded copy, and
+    # rebuild the scene so even the weakref identity is fresh.
+    pr._CAPACITY_CACHE.clear()
+    pr._PACKED_CACHE.clear()
+    monkeypatch.setattr(capacity_store, "_LOADED", None)
+    scene2 = build_dense(mesh, cluster_size=64)
+    assert pr.has_warm_capacity(scene2, n)
+    # And the adopted hints drive a correct warm query.
+    xs = jnp.linspace(-0.9, 0.9, 45)
+    X, Y = jnp.meshgrid(xs, xs, indexing="ij")
+    o = jnp.stack([X, Y, jnp.full_like(X, 2.0)], -1).reshape(-1, 3)
+    rays = rc_.Ray.create(o=o, d=jnp.broadcast_to(
+        jnp.asarray([0.0, 0, -1.0]), o.shape))
+    warm = pr.closest_hit_regrouped(scene2, rays, tile=2048, passes=1)
+    from raycore_tpu.accel.brute import closest_hit_brute
+    ref = closest_hit_brute(mesh, rays)
+    np.testing.assert_array_equal(np.asarray(warm.hit),
+                                  np.asarray(ref.hit))
+    m = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(warm.t)[m],
+                               np.asarray(ref.t)[m], rtol=1e-5, atol=1e-6)
+    # Disabling persistence turns disk adoption off.
+    pr._CAPACITY_CACHE.clear()
+    monkeypatch.setenv("RAYCORE_PERSIST_CAPACITY", "0")
+    monkeypatch.setattr(capacity_store, "_LOADED", None)
+    assert not pr.has_warm_capacity(scene2, n)
+
+
 def test_wavefront_reflection_roughness_jitter():
     """Parity with the reference's generate_reflection_rays! roughness
     jitter (docs/src/wavefront-renderer.jl:457-459): with the SAME key,
