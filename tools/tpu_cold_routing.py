@@ -25,6 +25,8 @@ N_RAYS = int(os.environ.get("RAYCORE_BENCH_RAYS", 1_048_576))
 
 def run_phase(phase):
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     import numpy as np
     import jax
     import jax.numpy as jnp
