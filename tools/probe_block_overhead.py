@@ -126,8 +126,11 @@ def run_variant(variant, G, SPB, n_blocks, tbl, feats, subs, cids,
         in_specs=in_specs,
         out_specs=[pl.BlockSpec((ROWS, 1), lambda b, subs, cids: (b, 0))] * 2)
 
+    # feats MUST be an argument, not a closure capture: a captured
+    # (K, FEAT, 4C) f32 array (268 MB) is inlined as a jaxpr constant and
+    # blows the tunneled backend's remote-compile payload (HTTP 413).
     @jax.jit
-    def go(subs, cids, *ins):
+    def go(subs, cids, feats, *ins):
         k, p = pl.pallas_call(
             kernel, grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((n_blocks * ROWS, 1),
@@ -136,12 +139,12 @@ def run_variant(variant, G, SPB, n_blocks, tbl, feats, subs, cids,
         )(subs, cids, *ins, feats)
         return k[::257, 0].sum()
 
-    float(go(subs, cids, *ins))          # compile
+    float(go(subs, cids, feats, *ins))          # compile
     reps = 3
     best = np.inf
     for _ in range(reps):
         t0 = time.time()
-        float(go(subs, cids, *ins))      # value-dependent readback
+        float(go(subs, cids, feats, *ins))      # value-dependent readback
         best = min(best, time.time() - t0)
     return best / n_blocks * 1e6
 
