@@ -81,6 +81,7 @@ def test_pallas_worklist_matches_brute(scene):
                                   np.asarray(rb.triangle.metadata)[same])
 
 
+@pytest.mark.slow
 def test_pallas_worklist_incoherent(scene, rng):
     n = 300
     o = rng.uniform(-2, 2, (n, 3)).astype(np.float32)

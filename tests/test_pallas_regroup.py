@@ -322,6 +322,7 @@ def test_run_regrouped_contig_tbl_mode_matches_gather():
     assert int(np.asarray(kg)[0]) != 0   # sweep actually produced keys
 
 
+@pytest.mark.slow
 def test_regroup_contig_tbl_end_to_end(monkeypatch):
     """End-to-end regroup query with RAYCORE_REGROUP_TBL=contig vs the
     brute oracle (fresh ray count so the stage graphs re-trace and pick

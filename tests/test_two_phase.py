@@ -61,6 +61,7 @@ def _simulate(phi, feats, mode):
     return q, s, eps
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["bf16", "bf16x3"])
 @pytest.mark.parametrize("near_edge", [False, True])
 def test_classify_sound(rng, mode, near_edge):
