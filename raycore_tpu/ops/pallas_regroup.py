@@ -581,15 +581,24 @@ def nearest_cluster_per_subgroup(tids, cids, fine, n_tiles: int, SPT: int,
     return csel[:n_tiles].reshape(-1)                 # (n_sub,)
 
 
-@partial(jax.jit, static_argnames=("TILE", "G", "SPB", "P_cap",
-                                   "interpret"))
-def _stage1_pruned(scene, o, d, t_min, t_max, *, TILE: int, G: int,
-                   SPB: int, P_cap: int, interpret: bool):
-    """Two-pass stage1: refine, sweep each subgroup's nearest cluster
-    (statically-bounded grid — no extra host sync), then prune the
+def _stage1_pruned_core(scene, o, d, t_min, t_max, TILE: int, G: int,
+                        SPB: int, P_cap: int, interpret: bool,
+                        waves: int = 1):
+    """Ordered-wave stage1: refine, sweep each subgroup's ``waves``
+    NEAREST candidate clusters (by conservative slab entry; one
+    statically-bounded grid — no extra host sync), then prune the
     remaining candidates against the per-subgroup best-t upper bound.
     Pruning is conservative: a cluster whose entry bound exceeds every
-    ray's current best cannot improve any hit, so exactness holds."""
+    ray's current best cannot improve any hit, so exactness holds.
+
+    waves=1 is the classic passes=2 two-pass machine. The W-wave
+    generalization is the round-4 architecture-decision prototype: on
+    depth-complex scenes (tools/wave_sim.py, 1M-tri blobby, G=32
+    cs=128) W=3-4 sweeps 674 tris/ray vs 1196 unordered (1.78x) and
+    1062 for W=1 (which barely pays); the per-subgroup ordered floor is
+    383. Sweeping all W choices in ONE grid gives the same final bound
+    as sequential waves — exact Möller–Trumbore best-t is order
+    independent — at a single dispatch."""
     K = scene.n_clusters
     C = scene.cluster_size
     SPT = TILE // G
@@ -605,32 +614,73 @@ def _stage1_pruned(scene, o, d, t_min, t_max, *, TILE: int, G: int,
     fine = refine_pairs(stats, tids, cids, scene.cluster_min,
                         scene.cluster_max, SPT, n_tiles)
     tbl = ray_table(o, d, t_min, t_max, G)
+    tclamp = jnp.minimum(tids, n_tiles)
 
-    # Pass 1: nearest cluster per subgroup; grid bound is static.
-    chosen = nearest_cluster_per_subgroup(tids, cids, fine, n_tiles, SPT, K)
-    B1 = n_sub // SPB + K + 1
+    # Per subgroup, the `waves` nearest candidate clusters (iterated
+    # exclusion: W segmented min-reductions over the pair rows).
+    chosen_all = []
+    fine_w = fine
+    for _ in range(waves):
+        chosen = nearest_cluster_per_subgroup(tids, cids, fine_w, n_tiles,
+                                              SPT, K)
+        chosen_all.append(chosen)
+        ch_t = jnp.take(jnp.concatenate(
+            [chosen.reshape(n_tiles, SPT),
+             jnp.full((1, SPT), K, jnp.int32)]), tclamp, axis=0)
+        fine_w = jnp.where(cids[:, None] == ch_t, jnp.inf, fine_w)
+
+    # Wave sweep: all W choices of every subgroup in one grid.
+    chf = jnp.stack(chosen_all, axis=1).reshape(-1)   # (n_sub * W,)
+    subrep = jnp.repeat(jnp.arange(n_sub, dtype=jnp.int32), waves)
+    B1 = n_sub * waves // SPB + K + 1
     bc1, bs1, _tot1 = group_flat_cluster_major(
-        jnp.arange(n_sub, dtype=jnp.int32), jnp.minimum(chosen, K - 1),
-        chosen < K, SPB=SPB, n_sub=n_sub, B_cap=B1, K=K)
+        subrep, jnp.minimum(chf, K - 1), chf < K,
+        SPB=SPB, n_sub=n_sub, B_cap=B1, K=K)
     k1r, p1r = run_regrouped(bs1, bc1, tbl, scene.tri_feats, G=G, SPB=SPB,
                              C=C, n_blocks=B1, interpret=interpret,
                              tbl_mode=_tbl_mode_default())
     k1, p1 = combine_rows_grouped(k1r, p1r, bs1, B1, G, SPB, n_sub)
 
-    # Per-subgroup upper bound on the remaining useful entry t.
+    # Per-subgroup upper bound on the remaining useful entry t. fine_w
+    # already carries inf at every swept (subgroup, cluster), so the
+    # threshold alone excludes the wave set from the remainder.
     t1 = jnp.where(k1 == INT32_MAX, jnp.inf, _t_from_keys(k1, 0))
     ub = jnp.max(t1.reshape(n_sub, G), axis=1)        # (n_sub,)
-    tclamp = jnp.minimum(tids, n_tiles)
     ub_t = jnp.take(jnp.concatenate(
         [ub.reshape(n_tiles, SPT), jnp.zeros((1, SPT))]), tclamp, axis=0)
-    ch_t = jnp.take(jnp.concatenate(
-        [chosen.reshape(n_tiles, SPT),
-         jnp.full((1, SPT), K, jnp.int32)]), tclamp, axis=0)
-    fine2 = jnp.where((fine <= ub_t) & (cids[:, None] != ch_t), fine,
-                      jnp.inf)
+    fine2 = jnp.where(fine_w <= ub_t, fine_w, jnp.inf)
     block_cid, block_subs, total = group_cluster_major(
         tids, cids, fine2, SPT=SPT, SPB=SPB, n_sub=n_sub, B_cap=B_cap, K=K)
     return (block_cid, block_subs, tbl, total, coarse_total, k1, p1)
+
+
+@partial(jax.jit, static_argnames=("TILE", "G", "SPB", "P_cap",
+                                   "interpret", "waves"))
+def _stage1_pruned(scene, o, d, t_min, t_max, *, TILE: int, G: int,
+                   SPB: int, P_cap: int, interpret: bool, waves: int = 1):
+    return _stage1_pruned_core(scene, o, d, t_min, t_max, TILE, G, SPB,
+                               P_cap, interpret, waves)
+
+
+@partial(jax.jit, static_argnames=("TILE", "G", "SPB", "P_cap", "nb",
+                                   "interpret", "combine", "R0", "waves"))
+def _fused_query_pruned(scene, o, d, t_min, t_max, *, TILE: int, G: int,
+                        SPB: int, P_cap: int, nb: int, interpret: bool,
+                        combine: str, R0: int, waves: int):
+    """One-dispatch warm path for the ordered-wave (passes>=2) engine:
+    wave stage1 + remainder sweep with a PREDICTED remainder grid, same
+    predict-then-validate contract as _fused_query. The wave grid is
+    statically bounded, so only the remainder grid needs the
+    prediction."""
+    out = _stage1_pruned_core(scene, o, d, t_min, t_max, TILE, G, SPB,
+                              P_cap, interpret, waves)
+    block_cid, block_subs, tbl, total, coarse_total, k1, p1 = out
+    res = _stage2_core(scene, block_cid, block_subs, tbl, o[:R0], d[:R0],
+                       G, SPB, nb, interpret, combine, o.shape[0],
+                       k1, p1)
+    csum = jnp.sum(res.t[::257], dtype=jnp.float32)
+    return res, jnp.stack([total, coarse_total,
+                           jax.lax.bitcast_convert_type(csum, jnp.int32)])
 
 
 def _stage1_packed_core(scene, o, d, t_min, t_max, TILE, G, SPB_sub,
@@ -1364,9 +1414,13 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
     """Exact closest hit via the cluster-major regrouped sweep. One host
     sync reads the true block count and pow2-buckets the kernel grid
     (same auto-sizing contract as closest_hit_dense_pallas_auto).
-    passes=2 sweeps each subgroup's nearest cluster first and prunes the
-    rest against the resulting per-subgroup best-t bound (conservative,
-    so still exact); passes=1 sweeps every refined candidate.
+    passes=N>=2 sweeps each subgroup's N-1 NEAREST clusters first (one
+    ordered-wave grid) and prunes the rest against the resulting
+    per-subgroup best-t bound (conservative, so still exact); passes=1
+    sweeps every refined candidate. On depth-complex scenes passes=4
+    sweeps ~1.8x fewer triangles than passes=1 (tools/wave_sim.py);
+    on single-layer scenes (heightfield) ordering cannot pay — keep
+    passes=1 there.
 
     with_checksum=True returns (result, checksum) where checksum is a
     HOST float strided-sum of result.t (None when the warm fused path
@@ -1424,15 +1478,22 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
     reshape_out = lambda res: jax.tree_util.tree_map(
         lambda a: a.reshape(batch + a.shape[1:]), res)
 
-    if passes == 1 and cached is not None and combine == "grouped":
+    if cached is not None and combine == "grouped" \
+            and not (passes > 1 and _occlusion):
         # Warm path: ONE dispatch with the predicted block grid; validate
         # the totals afterwards and fall back when the prediction missed.
         B_cap = P_cap * (TILE // G) // SPB + scene.n_clusters + 1
         nb_pred = min(cached["nb"], B_cap)
-        res, totals = _fused_query(
-            scene, o, d, t_min, t_max, TILE=TILE, G=G, SPB=SPB,
-            P_cap=P_cap, nb=nb_pred, interpret=interpret,
-            combine=combine, R0=R0, occlusion=_occlusion)
+        if passes == 1:
+            res, totals = _fused_query(
+                scene, o, d, t_min, t_max, TILE=TILE, G=G, SPB=SPB,
+                P_cap=P_cap, nb=nb_pred, interpret=interpret,
+                combine=combine, R0=R0, occlusion=_occlusion)
+        else:
+            res, totals = _fused_query_pruned(
+                scene, o, d, t_min, t_max, TILE=TILE, G=G, SPB=SPB,
+                P_cap=P_cap, nb=nb_pred, interpret=interpret,
+                combine=combine, R0=R0, waves=passes - 1)
         import numpy as _np
         if deferred:
             # Pipelined-dispatch mode: hand back the UNSYNCED result plus
@@ -1474,10 +1535,10 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
         # P_cap reaches hard after finitely many doublings — a truncated
         # worklist is never swept (that would silently drop candidates
         # from an API documented as exact).
-        if passes == 2:
+        if passes >= 2:
             out = _stage1_pruned(scene, o, d, t_min, t_max, TILE=TILE,
                                  G=G, SPB=SPB, P_cap=P_cap,
-                                 interpret=interpret)
+                                 interpret=interpret, waves=passes - 1)
             block_cid, block_subs, tbl, total, coarse, k1, p1 = out
         else:
             block_cid, block_subs, tbl, total, coarse = _stage1(

@@ -35,7 +35,8 @@ import pytest  # noqa: E402
 
 def pytest_configure(config):
     # Two tiers (VERDICT r2 item 10): `pytest -m "not slow"` is the fast
-    # CI-style lane (~2-4 min); the full suite is the merge gate.
+    # CI-style lane (~5 min measured on an idle 8-core box); the full
+    # suite is the merge gate.
     config.addinivalue_line(
         "markers", "slow: heavyweight test (full-suite tier only; "
         "deselect with -m 'not slow')")

@@ -68,13 +68,41 @@ def test_regroup_parity_incoherent(combine):
 @pytest.mark.parametrize("C,G,SPB,passes", [(128, 32, 16, 2),
                                             (128, 32, 16, 1),
                                             (64, 32, 16, 2),
-                                            (128, 16, 32, 2)])
+                                            (128, 16, 32, 2),
+                                            (128, 32, 16, 4)])
 def test_regroup_parity_configs(C, G, SPB, passes):
     scene, rays = _scene_and_rays(C=C, coherent=True)
     ref = closest_hit_brute(scene.prims, rays)
     got = closest_hit_regrouped(scene, rays, subgroup=G, spb=SPB,
                                 passes=passes)
     _check(ref, got)
+
+
+def test_regroup_multiwave_depth_complex():
+    """passes=4 (3 ordered waves + prune) on a depth-complex scene — the
+    workload the multiwave generalization exists for (tools/wave_sim.py:
+    1.78x candidate reduction on 1M-tri blobby). Exactness must hold
+    through the wave selection + remainder prune."""
+    mesh = rc.blobby_mesh(n_theta=96, n_phi=96)
+    scene = build_dense(mesh, cluster_size=128)
+    rng = np.random.default_rng(3)
+    R = 1024
+    o = rng.uniform(-0.5, 0.5, (R, 3)).astype(np.float32)
+    o[:, 2] = 2.5
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.5
+    rays = rc.Ray.create(o=jnp.asarray(o),
+                         d=jnp.asarray(np.ascontiguousarray(d)))
+    ref = closest_hit_brute(scene.prims, rays)
+    for p in (2, 4, 6):
+        _check(ref, closest_hit_regrouped(scene, rays, passes=p))
+    # Second passes=4 query rides the fused warm path (predicted
+    # remainder grid + totals validation) — must stay exact.
+    got, cs = closest_hit_regrouped(scene, rays, passes=4,
+                                    with_checksum=True)
+    _check(ref, got)
+    assert cs is not None    # warm fused path was actually taken
 
 
 @pytest.mark.slow

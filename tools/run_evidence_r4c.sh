@@ -1,0 +1,100 @@
+#!/bin/bash
+# Round-4 TPU evidence batch, part C — replaces the remainder of
+# run_evidence_r4b.sh after the RAYCORE_BENCH_WAIT_TPU=0 brittleness was
+# diagnosed: the tunnel flickers for ~1 min windows, and WAIT_TPU=0 made
+# bench give up instantly (the r4/r4b "tpu-unavailable" rows). All bench
+# entries here use the default 240 s backend wait. Also adds the
+# multiwave (passes=4) A/B rows for the round-4 architecture decision
+# and re-queues rows the flakes ate.
+set -x
+cd /root/repo
+LOG=${1:-/tmp/evidence_r4c.log}
+: > "$LOG"
+# The tunnel flickers in multi-minute windows; never let a bench give up
+# on its own — the driver's wait_tpu gates entry, this rides out drops
+# that happen mid-entry.
+export RAYCORE_BENCH_WAIT_TPU=1800
+
+probe() {
+  timeout 300 python - <<'EOF' >/dev/null 2>&1
+import jax, jax.numpy as jnp
+x = jnp.ones((8, 128), jnp.float32) @ jnp.ones((128, 8), jnp.float32)
+jax.block_until_ready(x)
+assert float(x[0, 0]) == 128.0
+EOF
+}
+
+wait_tpu() {
+  local n=0
+  until probe; do
+    n=$((n + 1))
+    echo "probe $n failed $(date -u +%H:%M:%S), waiting" >> "$LOG"
+    sleep 120
+  done
+  echo "tpu up $(date -u +%H:%M:%S)" >> "$LOG"
+}
+
+run() {
+  wait_tpu
+  echo "=== $1 === $(date -u +%H:%M:%S)" >> "$LOG"
+  shift
+  timeout "$@" >> "$LOG" 2>&1
+  echo "rc=$?" >> "$LOG"
+}
+
+# --- tier 0: verify the multiwave engine change on-device (small shapes) ---
+run "verify multiwave small blobby passes=4 vs passes=1 (engine-change check)" 2400 \
+    env RAYCORE_BENCH_SCENE=blobby RAYCORE_BENCH_TRIS=100000 RAYCORE_BENCH_RAYS=262144 RAYCORE_BENCH_REPS=2 RAYCORE_BENCH_PASSES=4 python bench.py
+run "parity regroup multiwave vs brute (on-device)" 2400 \
+    env PARITY_PASSES=4 python tools/tpu_parity_regroup.py
+
+# --- tier 1 (re-queue of flake-eaten rows + remaining) ---
+run "bench regroup SPB=32 (re-queue)" 2400 \
+    env RAYCORE_BENCH_SPB=32 RAYCORE_BENCH_REPS=3 python bench.py
+run "bench regroup stage1=compact (re-queue)" 2400 \
+    env RAYCORE_REGROUP_STAGE1=compact RAYCORE_BENCH_REPS=3 python bench.py
+run "bench packed SUBC=4 (re-queue)" 3600 \
+    env RAYCORE_BENCH_ENGINE=packed RAYCORE_BENCH_REPS=3 python bench.py
+run "parity packed vs brute (on-device)" 2400 \
+    env PARITY_ENGINE=packed python tools/tpu_parity_regroup.py
+run "cold-process warm routing proof (VERDICT r4 task 7)" 2400 \
+    python tools/tpu_cold_routing.py
+run "path tracer warm frame (done-bar: <10 s)" 5400 \
+    python tools/tpu_pathtracer_bench.py
+
+# --- tier 2: BASELINE scale matrix + depth-complex scene + multiwave A/B ---
+run "bench 250K tris / 1M rays" 2400 \
+    env RAYCORE_BENCH_TRIS=250000 RAYCORE_BENCH_REPS=3 python bench.py
+run "bench blobby 1M tris passes=1 (depth-complex baseline)" 3600 \
+    env RAYCORE_BENCH_SCENE=blobby RAYCORE_BENCH_REPS=3 python bench.py
+run "bench blobby 1M tris passes=4 (MULTIWAVE architecture A/B)" 3600 \
+    env RAYCORE_BENCH_SCENE=blobby RAYCORE_BENCH_PASSES=4 RAYCORE_BENCH_REPS=3 python bench.py
+run "bench blobby 1M tris passes=2 (old two-pass, for the decision table)" 3600 \
+    env RAYCORE_BENCH_SCENE=blobby RAYCORE_BENCH_PASSES=2 RAYCORE_BENCH_REPS=3 python bench.py
+run "bench 4M tris / 1M rays (K=32768)" 5400 \
+    env RAYCORE_BENCH_TRIS=4000000 RAYCORE_BENCH_REPS=3 python bench.py
+run "bench 1M tris / 4M rays" 5400 \
+    env RAYCORE_BENCH_RAYS=4194304 RAYCORE_BENCH_REPS=3 python bench.py
+run "bench 250K tris / 4M rays (BASELINE :31 row)" 3600 \
+    env RAYCORE_BENCH_TRIS=250000 RAYCORE_BENCH_RAYS=4194304 RAYCORE_BENCH_REPS=3 python bench.py
+
+# --- tier 3: build decomposition + instanced + traversal A/B ---
+run "build decomposition" 2400 python tools/profile_build.py
+run "build decomposition 2 (perm variants)" 2400 python tools/profile_build2.py
+run "instanced dynamic bench" 5400 python tools/tpu_instanced_bench.py
+run "exercise (instance id, occlusion, stack)" 1800 python tools/tpu_exercise_r2.py
+run "bench bvh traversal engine (scatter-stack A/B)" 3600 \
+    env RAYCORE_BENCH_ENGINE=bvh RAYCORE_BENCH_RAYS=262144 RAYCORE_BENCH_REPS=2 python bench.py
+
+# --- tier 5: precision A/B (architecture decision 2nd lever) ---
+run "relaxed-tie precision A/B (mm_precision high vs highest)" 5400 \
+    python tools/tpu_wave_bench.py
+
+# --- tier 4: knob sweeps (lowest priority) ---
+run "bench regroup SPB=8" 2400 \
+    env RAYCORE_BENCH_SPB=8 RAYCORE_BENCH_REPS=3 python bench.py
+run "bench regroup TILE=4096" 2400 \
+    env RAYCORE_BENCH_TILE=4096 RAYCORE_BENCH_REPS=3 python bench.py
+run "bench heightfield passes=4 (multiwave sanity: ordering can't pay here)" 2400 \
+    env RAYCORE_BENCH_PASSES=4 RAYCORE_BENCH_REPS=3 python bench.py
+echo "ALL DONE $(date -u +%H:%M:%S)" >> "$LOG"

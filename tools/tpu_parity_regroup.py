@@ -20,15 +20,22 @@ from raycore_tpu.ops.pallas_regroup import (closest_hit_packed,
 n = int(os.environ.get("PARITY_MESH_N", 224))            # ~100K tris
 R = int(os.environ.get("PARITY_RAYS", 65536))
 ENGINE = os.environ.get("PARITY_ENGINE", "regroup")      # regroup | packed
-mesh = rc.displaced_grid_mesh(n=n, extent=2.0, amplitude=0.35)
+PASSES = int(os.environ.get("PARITY_PASSES", 1))   # >=2 = ordered waves
+SCENE = os.environ.get("PARITY_SCENE",
+                       "blobby" if PASSES >= 2 else "heightfield")
+if SCENE == "blobby":
+    mesh = rc.blobby_mesh(n_theta=n, n_phi=n)
+else:
+    mesh = rc.displaced_grid_mesh(n=n, extent=2.0, amplitude=0.35)
 if ENGINE == "packed":
     scene = build_dense(mesh, cluster_size=128, sub_chunks=4)
     query = lambda rays: closest_hit_packed(scene, rays, tile=2048)
 else:
     scene = build_dense(mesh, cluster_size=128)
     query = lambda rays: closest_hit_regrouped(scene, rays, tile=2048,
-                                               passes=1)
-print(f"engine={ENGINE} tris={mesh.vertices.shape[0]} K={scene.n_clusters} "
+                                               passes=PASSES)
+print(f"engine={ENGINE} scene={SCENE} passes={PASSES} "
+      f"tris={mesh.vertices.shape[0]} K={scene.n_clusters} "
       f"rays={R} mm_precision="
       f"{os.environ.get('RAYCORE_MM_PRECISION', 'highest')}", flush=True)
 
