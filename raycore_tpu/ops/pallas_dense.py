@@ -38,16 +38,44 @@ FEAT = 16
 # (observed OOM at the 100K-tri/262K-ray config). v5e has 128 MB VMEM and
 # our block specs are tiny, so raise the scratch budget for all kernels.
 _VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
-# fp32 accuracy on the MXU costs 6 bf16 passes (HIGHEST; Pallas has no
-# 3-pass HIGH tier). RAYCORE_MM_PRECISION=default switches to 1-pass bf16
-# for timing experiments only — it breaks hit accuracy.
+# fp32 accuracy on the MXU costs 6 bf16 passes (HIGHEST — the default;
+# winner selection is fp32-exact). RAYCORE_MM_PRECISION relaxes the
+# winner-SELECTION matmuls only (payloads are recomputed exactly in
+# finalize_hits_exact): "high" = Precision.HIGH (bf16x3 if the Mosaic
+# lowering honors it), "bf16x3" = manual 3-pass hi/lo split (see
+# _mm_sweep), "default" = 1-pass bf16 (timing experiments only — it
+# breaks edge-eps exactness).
 import os as _os
+_MM_MODE = _os.environ.get("RAYCORE_MM_PRECISION", "")
 _MATMUL_PRECISION = {
     "default": jax.lax.Precision.DEFAULT,   # 1-pass bf16 (experiment only:
                                             # breaks edge-eps exactness)
     "high": jax.lax.Precision.HIGH,         # 3-pass bf16x3
-}.get(_os.environ.get("RAYCORE_MM_PRECISION", ""),
+}.get(_MM_MODE,
       jax.lax.Precision.HIGHEST)            # 6-pass, fp32-exact (default)
+
+
+def _mm_sweep(a, b):
+    """The sweep's featurized-MT matmul at the configured precision.
+
+    "bf16x3" is a MANUAL 3-pass split (hi/lo bf16 decomposition, drops
+    the lo*lo term — ~2^-14 relative error on the winner-selection
+    quantities, same contract as Precision.HIGH) for the case where the
+    Mosaic lowering treats HIGH as HIGHEST: the splits are cheap VPU
+    elementwise ops and each dot issues at DEFAULT (1 MXU pass)."""
+    if _MM_MODE == "bf16x3":
+        a_hi = a.astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dot = lambda x, y: jax.lax.dot_general(
+            x, y, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+        return dot(a_hi, b_hi) + (dot(a_hi, b_lo) + dot(a_lo, b_hi))
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_MATMUL_PRECISION)
 
 # --- packed best keys -------------------------------------------------------
 # The kernel carries ONE int32 per ray: the bit pattern of the best t (a
@@ -150,11 +178,8 @@ def _kernel_body(cids_ref, phi_ref, feats_ref, sub_ref, tmin_ref, key0_ref,
             cur_key, cur_pair = cur
             cur_t = jax.lax.bitcast_convert_type(cur_key & ~mask,
                                                  jnp.float32)
-            q = jax.lax.dot_general(
-                phi, feats[:, s * 4 * CS:(s + 1) * 4 * CS],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_MATMUL_PRECISION)              # (TILE, 4CS)
+            q = _mm_sweep(
+                phi, feats[:, s * 4 * CS:(s + 1) * 4 * CS])  # (TILE, 4CS)
             det = q[:, 0 * CS:1 * CS]
             udet = q[:, 1 * CS:2 * CS]
             vdet = q[:, 2 * CS:3 * CS]
@@ -273,10 +298,7 @@ def _occl_kernel(tids_ref, cids_ref, phi_ref, feats_ref, tmin_ref,
         def test(cur):
             phi = phi_ref[:]
             feats = feats_ref[0]
-            q = jax.lax.dot_general(
-                phi, feats, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_MATMUL_PRECISION)                 # (TILE, 4C)
+            q = _mm_sweep(phi, feats)                 # (TILE, 4C)
             det = q[:, 0 * C:1 * C]
             udet = q[:, 1 * C:2 * C]
             vdet = q[:, 2 * C:3 * C]

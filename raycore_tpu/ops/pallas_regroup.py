@@ -50,8 +50,8 @@ import os as _os
 from . import capacity_store as _cap_store
 from ..core.triangle import safe_invdir
 from ..core.triangle import INV_DIR_CLAMP as _INV_DIR_CLAMP
-from .pallas_dense import (FEAT, _MATMUL_PRECISION, _VMEM_PARAMS, _t_from_keys,
-                           build_worklist, phase_a_entry)
+from .pallas_dense import (FEAT, _VMEM_PARAMS, _mm_sweep,
+                           _t_from_keys, build_worklist, phase_a_entry)
 
 INT32_MAX = 0x7FFFFFFF  # plain int: jnp constants can't be captured by kernels
 
@@ -229,10 +229,7 @@ def _sweep_tbl(tbl, feats, key_out, pair_out, cid, b, *, C: int, G: int,
     # rows are zero, but inf * 0 = NaN would poison every quantity.
     cols = jax.lax.broadcasted_iota(jnp.int32, tbl.shape, 1)
     phi_mm = jnp.where(cols >= COL_TMIN, 0.0, tbl)
-    q = jax.lax.dot_general(
-        phi_mm, feats, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_MATMUL_PRECISION)                         # (ROWS,4C)
+    q = _mm_sweep(phi_mm, feats)                         # (ROWS,4C)
     det = q[:, 0 * C:1 * C]
     udet = q[:, 1 * C:2 * C]
     vdet = q[:, 2 * C:3 * C]
@@ -411,10 +408,7 @@ def _kernel_packed(subs_ref, cids_ref, *refs, C_eff: int, G: int,
         mask = (rows // RSUB == cols // FEAT) & (cols % FEAT < COL_TMIN)
         phi_rep = jnp.concatenate([tbl] * PACKS, axis=1)  # (ROWS, KX)
         phi_big = jnp.where(mask, phi_rep, 0.0)
-        q = jax.lax.dot_general(
-            phi_big, feats, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_MATMUL_PRECISION)                  # (ROWS, 4Ce)
+        q = _mm_sweep(phi_big, feats)                  # (ROWS, 4Ce)
         tmin = tbl[:, COL_TMIN:COL_TMIN + 1]
         tmax = tbl[:, COL_TMAX:COL_TMAX + 1]
         Ce = C_eff
@@ -646,6 +640,16 @@ def _stage1_pruned_core(scene, o, d, t_min, t_max, TILE: int, G: int,
     # threshold alone excludes the wave set from the remainder.
     t1 = jnp.where(k1 == INT32_MAX, jnp.inf, _t_from_keys(k1, 0))
     ub = jnp.max(t1.reshape(n_sub, G), axis=1)        # (n_sub,)
+    # Relaxed winner-selection precision (RAYCORE_MM_PRECISION) makes the
+    # wave best-t an UNDER-estimate by up to the mode's relative error;
+    # pruning against it unwidened would drop true winners. Inflate by a
+    # safety factor well above the mode's bound (bf16x3/high ~2^-14,
+    # 1-pass bf16 ~2^-8) — the extra surviving candidates are noise.
+    from .pallas_dense import _MM_MODE
+    _ub_margin = {"high": 2.0 ** -12, "bf16x3": 2.0 ** -12,
+                  "default": 2.0 ** -5}.get(_MM_MODE, 0.0)
+    if _ub_margin:
+        ub = ub * (1.0 + _ub_margin) + jnp.float32(1e-7)
     ub_t = jnp.take(jnp.concatenate(
         [ub.reshape(n_tiles, SPT), jnp.zeros((1, SPT))]), tclamp, axis=0)
     fine2 = jnp.where(fine_w <= ub_t, fine_w, jnp.inf)

@@ -35,6 +35,8 @@ PHASES = {
     # tag: (RAYCORE_MM_PRECISION, RAYCORE_BENCH_SPB)
     "highest-spb16": ("", "16"),
     "high-spb16": ("high", "16"),
+    "bf16x3-spb16": ("bf16x3", "16"),   # manual 3-pass split: the control
+                                        # for Mosaic ignoring HIGH
     "high-spb32": ("high", "32"),
 }
 
