@@ -12,8 +12,10 @@ LOG=${1:-/tmp/evidence_r4c.log}
 : > "$LOG"
 # The tunnel flickers in multi-minute windows; never let a bench give up
 # on its own — the driver's wait_tpu gates entry, this rides out drops
-# that happen mid-entry.
+# that happen mid-entry. The supervisor deadline must exceed the wait
+# budget or backend-waits are killed at 1200 s regardless.
 export RAYCORE_BENCH_WAIT_TPU=1800
+export RAYCORE_BENCH_DEADLINE=3000
 
 probe() {
   timeout 300 python - <<'EOF' >/dev/null 2>&1
@@ -42,12 +44,8 @@ run() {
   echo "rc=$?" >> "$LOG"
 }
 
-# --- tier 0: verify the multiwave engine change on-device (small shapes) ---
-run "verify multiwave small blobby passes=4 vs passes=1 (engine-change check)" 2400 \
-    env RAYCORE_BENCH_SCENE=blobby RAYCORE_BENCH_TRIS=100000 RAYCORE_BENCH_RAYS=262144 RAYCORE_BENCH_REPS=2 RAYCORE_BENCH_PASSES=4 python bench.py
-run "parity regroup multiwave vs brute (on-device)" 2400 \
-    env PARITY_PASSES=4 python tools/tpu_parity_regroup.py
-
+# --- tier 0 completed in the first r4c run (results in the r4c log):
+#     verify bench rc=0; multiwave parity "TPU parity OK".
 # --- tier 1 (re-queue of flake-eaten rows + remaining) ---
 run "bench regroup SPB=32 (re-queue)" 2400 \
     env RAYCORE_BENCH_SPB=32 RAYCORE_BENCH_REPS=3 python bench.py
