@@ -410,6 +410,78 @@ def build_dense(tris: Triangle, cluster_size: int = 256,
     return scene.replace(payload_mask=payload_mask)
 
 
+_DEPTH_CACHE: dict = {}
+_DEPTH_CACHE_MAX = 64
+
+
+def depth_layers(scene, n_probe_side: int = 16,
+                 gap_frac: float = 0.02) -> float:
+    """MEDIAN over the three axes of the mean number of DISJOINT
+    depth-layer groups the scene's cluster AABBs form along axis-aligned
+    probe rays.
+
+    Host-side numpy over the (K, 3) cluster bounds — no device work,
+    cached per scene. An open sheet has ~1 layer along its height axis
+    and only ripple-gap counts on the others, so its median stays low
+    (1M-class heightfield measures [1.57, 1.44, 1.00] -> 1.44); a
+    closed / multi-layer surface shows ~2 layers along at least two
+    axes (blobby: [2.05, 1.91, 1.24] -> 1.91) — exactly the workloads
+    where the ordered-wave engine's pruning pays (tools/wave_sim.py:
+    1.78x there, ~1.1x on single sheets). Used by ``passes="auto"``
+    (threshold 1.6) to pick 4 vs 1.
+
+    A gap must exceed ``gap_frac`` of the scene's extent along the probe
+    axis to count as a layer boundary, so touching clusters of one
+    surface never read as layers."""
+    import numpy as _np
+    key = id(scene.tri_feats)
+    hit = _DEPTH_CACHE.get(key)
+    if hit is not None:
+        return hit
+    bmin = _np.asarray(scene.cluster_min, dtype=_np.float32)
+    bmax = _np.asarray(scene.cluster_max, dtype=_np.float32)
+    # Capacity-padding sentinel geometry lives at PAD_COORD (1e30); drop
+    # clusters that contain any of it (root_aabb spans sentinels too, so
+    # it can't be the filter).
+    from .types import PAD_COORD
+    real = _np.all(_np.abs(bmax) < PAD_COORD * 0.5, axis=1) \
+        & _np.all(_np.abs(bmin) < PAD_COORD * 0.5, axis=1)
+    bmin, bmax = bmin[real], bmax[real]
+    if bmin.shape[0] == 0:
+        return 1.0
+    per_axis = []
+    for a in range(3):
+        u, v = (a + 1) % 3, (a + 2) % 3
+        ext_a = float(bmax[:, a].max() - bmin[:, a].min())
+        gap = gap_frac * max(ext_a, 1e-9)
+        us = _np.linspace(bmin[:, u].min(), bmax[:, u].max(),
+                          n_probe_side + 2, dtype=_np.float32)[1:-1]
+        vs = _np.linspace(bmin[:, v].min(), bmax[:, v].max(),
+                          n_probe_side + 2, dtype=_np.float32)[1:-1]
+        U, V = _np.meshgrid(us, vs, indexing="ij")
+        Uf, Vf = U.reshape(-1, 1), V.reshape(-1, 1)
+        inside = (Uf >= bmin[None, :, u]) & (Uf <= bmax[None, :, u]) \
+            & (Vf >= bmin[None, :, v]) & (Vf <= bmax[None, :, v])
+        lo = _np.where(inside, bmin[None, :, a], _np.inf)
+        hi = _np.where(inside, bmax[None, :, a], -_np.inf)
+        order = _np.argsort(lo, axis=1)
+        lo_s = _np.take_along_axis(lo, order, axis=1)
+        hi_s = _np.take_along_axis(hi, order, axis=1)
+        cummax = _np.maximum.accumulate(hi_s, axis=1)
+        new_group = (lo_s[:, 1:] > cummax[:, :-1] + gap) \
+            & _np.isfinite(lo_s[:, 1:])
+        any_hit = _np.isfinite(lo_s[:, 0])
+        n_hit = int(any_hit.sum())
+        if n_hit:
+            per_axis.append(
+                float((new_group.sum(axis=1) + any_hit).sum()) / n_hit)
+    val = float(_np.median(per_axis)) if per_axis else 1.0
+    if len(_DEPTH_CACHE) >= _DEPTH_CACHE_MAX:
+        _DEPTH_CACHE.pop(next(iter(_DEPTH_CACHE)))
+    _DEPTH_CACHE[key] = val
+    return val
+
+
 @jax.jit
 def _payload_flags(n, tg, uv):
     return jnp.array([jnp.any(n != 0), jnp.any(tg != 0), jnp.any(uv != 0)])

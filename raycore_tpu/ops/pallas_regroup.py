@@ -1215,9 +1215,19 @@ def _shape_params(R0: int, tile: int, subgroup: int):
     return G, TILE, R0 + ((-R0) % TILE)
 
 
+def auto_passes(scene) -> int:
+    """passes="auto" resolution: depth-complex scenes (cluster AABBs
+    forming >=~2 disjoint depth layers) take the ordered-wave multiwave
+    path — 1.7-1.8x fewer swept candidates there; single sheets stay
+    passes=1 where ordering structurally cannot pay (tools/wave_sim.py
+    decision tables). Host-side cached statistic; no device work."""
+    from ..accel.dense import depth_layers
+    return 4 if depth_layers(scene) >= 1.6 else 1
+
+
 def has_warm_capacity(scene, n_rays: int, *, tile: int = 2048,
                       subgroup: int = 32, spb: int = 16,
-                      passes: int = 1, occlusion: bool = False) -> bool:
+                      passes=1, occlusion: bool = False) -> bool:
     """True when a previous regrouped query at this (scene, shape,
     params) has populated the capacity cache — i.e. the fused one-
     dispatch executables exist and a repeat query is cheap. dispatch
@@ -1225,6 +1235,8 @@ def has_warm_capacity(scene, n_rays: int, *, tile: int = 2048,
     risking a first-call multi-minute remote stage-graph compile."""
     if getattr(scene, "sub_chunks", 1) != 1:
         return False
+    if passes == "auto":
+        passes = auto_passes(scene)
     G, TILE, Rp = _shape_params(n_rays, tile, subgroup)
     ck = (id(scene.tri_feats), scene.tri_feats.shape, Rp, TILE, G, spb,
           passes, occlusion)
@@ -1245,7 +1257,7 @@ def has_warm_capacity_packed(scene, n_rays: int, *, tile: int = 2048,
 
 def prewarm(scene, n_rays: int, *, engine: str = "auto", tile: int = 2048,
             subgroup: int = 32, spb: int = 16, spb_sub: int = 2,
-            packs: int = 8, passes: int = 1):
+            packs: int = 8, passes="auto"):
     """Compile + capacity-size the fast sweep engines for (scene,
     n_rays)-shaped queries. Runs two throwaway coherent queries (the
     first sizes capacities and compiles the two-stage path, the second
@@ -1262,6 +1274,8 @@ def prewarm(scene, n_rays: int, *, engine: str = "auto", tile: int = 2048,
     if engine == "auto":
         engine = "packed" if getattr(scene, "sub_chunks", 1) >= 2 \
             else "regroup"
+    if passes == "auto":
+        passes = auto_passes(scene)
     t0 = _time.time()
     # Coherent primary-style grid over the scene's top face, looking
     # down: candidate counts are workload-dependent, so the capacity
@@ -1439,6 +1453,8 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
     set, different block order."""
     if scene.sub_chunks != 1:
         raise ValueError("regrouped engine requires sub_chunks=1 scenes")
+    if passes == "auto":
+        passes = auto_passes(scene)
     if stage1 is None:
         stage1 = _os.environ.get("RAYCORE_REGROUP_STAGE1", "sort")
     if stage1 not in ("sort", "compact"):
