@@ -40,6 +40,14 @@ PHASES = {
     "high-spb32": ("high", "32"),
 }
 
+# WAVE_PHASES=tag1,tag2 trims the phase list (tunnel time is scarce);
+# WAVE_SKIP_PARITY=1 skips the brute-oracle flip stats (already measured
+# exactly on the CPU sim — tools/ambiguity_census.py) and runs only the
+# headline timing, which is the device-only quantity.
+_SEL = [t for t in os.environ.get("WAVE_PHASES", "").split(",") if t]
+if _SEL:
+    PHASES = {t: PHASES[t] for t in _SEL}
+
 
 def run_phase(tag):
     prec, spb = PHASES[tag]
@@ -58,34 +66,35 @@ def run_phase(tag):
 
     # --- flip statistics vs the HIGHEST oracle (brute is scalar-featurized
     # XLA at HIGHEST; unaffected by the Pallas kernels' precision knob).
-    mesh_s = rc.displaced_grid_mesh(n=224, extent=2.0, amplitude=0.35)
-    scene_s = build_dense(mesh_s, cluster_size=128)
-    R = 65536
-    rng = np.random.default_rng(0)
-    o = rng.uniform(-1, 1, (R, 3)).astype(np.float32)
-    o[:, 2] = 2.0
-    d = rng.normal(size=(R, 3)).astype(np.float32)
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
-    d[:, 2] = -np.abs(d[:, 2]) - 0.2
-    d[::7] = [0.0, 0.0, -1.0]
-    rays = rc.Ray.create(o=jnp.asarray(o), d=jnp.asarray(d))
-    ref = closest_hit_brute(scene_s.prims, rays, ray_chunk=2048)
-    got = closest_hit_regrouped(scene_s, rays, tile=2048, passes=1)
-    rh, gh = np.asarray(ref.hit), np.asarray(got.hit)
-    both = rh & gh
-    rt, gt = np.asarray(ref.t)[both], np.asarray(got.t)[both]
-    rel = np.abs(gt - rt) / np.maximum(np.abs(rt), 1e-6)
-    flips = (np.asarray(ref.prim_idx)[both]
-             != np.asarray(got.prim_idx)[both])
-    out["parity"] = {
-        "rays": int(R),
-        "hit_mask_flips": int(np.sum(rh != gh)),
-        "prim_flips": int(np.sum(flips)),
-        "prim_flip_frac": round(float(np.mean(flips)), 6),
-        "max_rel_dt_all": float(np.max(rel)) if rel.size else 0.0,
-        "max_rel_dt_flips": (float(np.max(rel[flips]))
-                             if flips.any() else 0.0),
-    }
+    if not os.environ.get("WAVE_SKIP_PARITY"):
+        mesh_s = rc.displaced_grid_mesh(n=224, extent=2.0, amplitude=0.35)
+        scene_s = build_dense(mesh_s, cluster_size=128)
+        R = 65536
+        rng = np.random.default_rng(0)
+        o = rng.uniform(-1, 1, (R, 3)).astype(np.float32)
+        o[:, 2] = 2.0
+        d = rng.normal(size=(R, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        d[:, 2] = -np.abs(d[:, 2]) - 0.2
+        d[::7] = [0.0, 0.0, -1.0]
+        rays = rc.Ray.create(o=jnp.asarray(o), d=jnp.asarray(d))
+        ref = closest_hit_brute(scene_s.prims, rays, ray_chunk=2048)
+        got = closest_hit_regrouped(scene_s, rays, tile=2048, passes=1)
+        rh, gh = np.asarray(ref.hit), np.asarray(got.hit)
+        both = rh & gh
+        rt, gt = np.asarray(ref.t)[both], np.asarray(got.t)[both]
+        rel = np.abs(gt - rt) / np.maximum(np.abs(rt), 1e-6)
+        flips = (np.asarray(ref.prim_idx)[both]
+                 != np.asarray(got.prim_idx)[both])
+        out["parity"] = {
+            "rays": int(R),
+            "hit_mask_flips": int(np.sum(rh != gh)),
+            "prim_flips": int(np.sum(flips)),
+            "prim_flip_frac": round(float(np.mean(flips)), 6),
+            "max_rel_dt_all": float(np.max(rel)) if rel.size else 0.0,
+            "max_rel_dt_flips": (float(np.max(rel[flips]))
+                                 if flips.any() else 0.0),
+        }
 
     # --- headline throughput (1M rays @ 1M tris, regroup, warm).
     grid_n = int(np.sqrt(1_000_000 / 2))
