@@ -38,14 +38,17 @@ run() {
   echo "rc=$?" >> "$LOG"
 }
 
-run "path tracer warm frame (done-bar: <10 s)" 2400 \
-    python tools/tpu_pathtracer_bench.py
-run "relaxed-tie precision A/B, trimmed (high + bf16x3, headline only)" 1800 \
+# Ordered by expected yield per tunnel-minute: the precision phases and
+# the 4M-tri row reuse mostly-cached stage graphs (one fresh kernel/build
+# compile each); the path tracer's many cold stage compiles go last.
+run "relaxed-tie precision A/B, trimmed (high + bf16x3, headline only)" 1500 \
     env WAVE_PHASES=high-spb16,bf16x3-spb16 WAVE_SKIP_PARITY=1 \
     python tools/tpu_wave_bench.py
-run "bench 4M tris / 1M rays (K=32768)" 2400 \
+run "bench 4M tris / 1M rays (K=32768)" 1800 \
     env RAYCORE_BENCH_TRIS=4000000 RAYCORE_BENCH_REPS=3 python bench.py
-run "instanced dynamic bench" 1800 python tools/tpu_instanced_bench.py
-run "bench 1M tris / 4M rays" 2400 \
+run "instanced dynamic bench" 1500 python tools/tpu_instanced_bench.py
+run "path tracer warm frame (done-bar: <10 s)" 1800 \
+    python tools/tpu_pathtracer_bench.py
+run "bench 1M tris / 4M rays" 1800 \
     env RAYCORE_BENCH_RAYS=4194304 RAYCORE_BENCH_REPS=3 python bench.py
 echo "ALL DONE $(date -u +%H:%M:%S)" >> "$LOG"
