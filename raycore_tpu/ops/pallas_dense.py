@@ -41,16 +41,18 @@ _VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 # fp32 accuracy on the MXU costs 6 bf16 passes (HIGHEST — the default;
 # winner selection is fp32-exact). RAYCORE_MM_PRECISION relaxes the
 # winner-SELECTION matmuls only (payloads are recomputed exactly in
-# finalize_hits_exact): "high" = Precision.HIGH (bf16x3 if the Mosaic
-# lowering honors it), "bf16x3" = manual 3-pass hi/lo split (see
-# _mm_sweep), "default" = 1-pass bf16 (timing experiments only — it
-# breaks edge-eps exactness).
+# finalize_hits_exact): "high"/"bf16x3" = manual 3-pass hi/lo split
+# (see _mm_sweep), "default" = 1-pass bf16 (timing experiments only —
+# it breaks edge-eps exactness). "high" aliases the manual split
+# because the Mosaic TPU lowering raises NotImplementedError on
+# Precision.HIGH inside Pallas kernels (measured on-device, r4f log).
 import os as _os
 _MM_MODE = _os.environ.get("RAYCORE_MM_PRECISION", "")
+if _MM_MODE == "high":
+    _MM_MODE = "bf16x3"
 _MATMUL_PRECISION = {
     "default": jax.lax.Precision.DEFAULT,   # 1-pass bf16 (experiment only:
                                             # breaks edge-eps exactness)
-    "high": jax.lax.Precision.HIGH,         # 3-pass bf16x3
 }.get(_MM_MODE,
       jax.lax.Precision.HIGHEST)            # 6-pass, fp32-exact (default)
 
