@@ -223,7 +223,8 @@ def inner():
             subc = int(os.environ.get("RAYCORE_BENCH_SUBCHUNKS", 4))
             sc = build_dense(mesh, cluster_size=cluster, sub_chunks=subc)
             float(sc.tri_feats[0, 0, 0])
-        elif engine.startswith("dense") or engine == "regroup":
+        elif engine.startswith("dense") or engine in ("regroup", "auto",
+                                                      "occlusion"):
             sc = build_dense(mesh, cluster_size=cluster)
             float(sc.tri_feats[0, 0, 0])
         else:
@@ -313,6 +314,23 @@ def inner():
         run_deferred = lambda: closest_hit_regrouped(
             scene, rays, tile=tile, subgroup=G, spb=SPB, combine=combine,
             passes=passes, deferred=True)
+    elif engine == "auto":
+        # Product-default path: rc.closest_hit dispatches by scene form
+        # and warm-capacity state (accel/dispatch.py). Prewarm once so
+        # the timed reps measure dispatch routing to the warmed fused
+        # engine — the number a renderer pipeline actually sees
+        # (VERDICT r4 task 3: bench exercises dispatch itself).
+        from raycore_tpu.ops.pallas_regroup import prewarm
+        prewarm(scene, n_rays)
+        run = lambda: rc.closest_hit(scene, rays)
+    elif engine == "occlusion":
+        # any_hit over the same config: per-subgroup candidates, no
+        # payload finalize (reference any_hit early-exit semantics).
+        from raycore_tpu.ops.pallas_regroup import any_hit_regrouped
+        run = lambda: any_hit_regrouped(scene, rays, tile=tile,
+                                        with_checksum=True)
+        run_deferred = lambda: any_hit_regrouped(scene, rays, tile=tile,
+                                                 deferred=True)
     elif engine == "dense_pallas_auto":
         from raycore_tpu.ops.pallas_dense import closest_hit_dense_pallas_auto
         run = lambda: closest_hit_dense_pallas_auto(scene, rays, tile=tile)
@@ -344,15 +362,21 @@ def inner():
     # for 100+ ms computations. A float() pull of a reduction over the
     # result cannot return before the device has produced it.
     probe = jax.jit(lambda t: t[::257].sum())
+    # Occlusion results carry t == 0 (constant — XLA would fold a t-sum
+    # without running the query); probe the occluder ids instead.
+    if engine == "occlusion":
+        carrier = lambda r: r.prim_idx.astype(jnp.float32)
+    else:
+        carrier = lambda r: r.t
 
     def run_synced():
         out = run()
         if isinstance(out, tuple):          # (res, checksum-or-None)
             res, csum = out
             if csum is None:
-                float(probe(res.t))
+                float(probe(carrier(res)))
             return res
-        float(probe(out.t))
+        float(probe(carrier(out)))
         return out
 
     # Warmup / compile.
@@ -409,7 +433,7 @@ def inner():
         t2 = time.time()
         for _ in range(chain):
             outs.append(run_deferred())
-        float(probe(outs[-1][0].t))
+        float(probe(carrier(outs[-1][0])))
         chain_s = time.time() - t2
         ok = all(f is None or f() is not None for _, f in outs)
         if ok:

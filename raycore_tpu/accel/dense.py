@@ -434,10 +434,18 @@ def depth_layers(scene, n_probe_side: int = 16,
     axis to count as a layer boundary, so touching clusters of one
     surface never read as layers."""
     import numpy as _np
+    import weakref as _weakref
+    # Keyed on id(tri_feats) with a weakref staleness guard: after GC a
+    # recycled id must not return a dead scene's statistic (it would
+    # silently misroute passes="auto" for the new scene) — same hazard
+    # and fix as pallas_regroup's _CAPACITY_CACHE (ADVICE r4).
     key = id(scene.tri_feats)
-    hit = _DEPTH_CACHE.get(key)
-    if hit is not None:
-        return hit
+    ent = _DEPTH_CACHE.get(key)
+    if ent is not None:
+        ref, val = ent
+        if ref is None or ref() is scene.tri_feats:
+            return val
+        del _DEPTH_CACHE[key]
     bmin = _np.asarray(scene.cluster_min, dtype=_np.float32)
     bmax = _np.asarray(scene.cluster_max, dtype=_np.float32)
     # Capacity-padding sentinel geometry lives at PAD_COORD (1e30); drop
@@ -478,7 +486,11 @@ def depth_layers(scene, n_probe_side: int = 16,
     val = float(_np.median(per_axis)) if per_axis else 1.0
     if len(_DEPTH_CACHE) >= _DEPTH_CACHE_MAX:
         _DEPTH_CACHE.pop(next(iter(_DEPTH_CACHE)))
-    _DEPTH_CACHE[key] = val
+    try:
+        ref = _weakref.ref(scene.tri_feats)
+    except TypeError:
+        ref = None
+    _DEPTH_CACHE[key] = (ref, val)
     return val
 
 

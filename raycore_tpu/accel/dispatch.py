@@ -67,14 +67,21 @@ def _dense_query(scene, rays, tile_size):
         # is the opt-in that makes it this scene's default).
         if has_warm_capacity_packed(scene, n_rays):
             return closest_hit_packed(scene, rays, tile=2048)
-        if scene.sub_chunks == 1 and (
-                opt_in or has_warm_capacity(scene, n_rays,
-                                            passes="auto")):
+        if scene.sub_chunks == 1:
             # passes="auto": depth-complex scenes take the ordered-wave
             # multiwave path (1.7-1.8x fewer swept candidates), single
             # sheets stay passes=1 (tools/wave_sim.py decision tables).
-            return closest_hit_regrouped(scene, rays, tile=2048,
-                                         passes="auto")
+            # Probe warmth for BOTH the auto-resolved passes and the
+            # plain passes=1 engine: a scene explicitly prewarmed with
+            # passes=1 that auto-resolves to 4 must still route to its
+            # compiled fused engine, not fall through to the worklist
+            # path (ADVICE r4).
+            if opt_in or has_warm_capacity(scene, n_rays, passes="auto"):
+                return closest_hit_regrouped(scene, rays, tile=2048,
+                                             passes="auto")
+            if has_warm_capacity(scene, n_rays, passes=1):
+                return closest_hit_regrouped(scene, rays, tile=2048,
+                                             passes=1)
         if scene.sub_chunks >= 2 and opt_in:
             return closest_hit_packed(scene, rays, tile=2048)
     from ..ops.pallas_dense import closest_hit_dense_pallas_auto

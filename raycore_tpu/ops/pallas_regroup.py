@@ -575,6 +575,38 @@ def nearest_cluster_per_subgroup(tids, cids, fine, n_tiles: int, SPT: int,
     return csel[:n_tiles].reshape(-1)                 # (n_sub,)
 
 
+def _exact_wave_ub_t(scene, p1, o, d, t_min, t_max):
+    """Exact per-ray upper bound on the best t, from the wave's selected
+    winners (relaxed winner-selection modes only). Recomputes the
+    selected pair with full-precision scalar Möller–Trumbore under the
+    engines' EDGE_EPS acceptance slack: a pair that passes exact
+    acceptance is an engine-admissible hit, so its exact t bounds the
+    true best from above; anything else (miss sentinel, exact-rejected,
+    out of [t_min, t_max]) contributes inf = prune nothing for that ray.
+    [ADVICE r4 medium: bf16x3 error is relative to product magnitudes,
+    so no t-relative inflation of the relaxed keys is sound.]"""
+    from ..accel.dense import EDGE_EPS
+    from ..accel.types import i32_as_f32
+    valid = p1 >= 0
+    rows = jnp.take(scene.prims_hot[:, :9], jnp.clip(p1, 0, None), axis=0)
+    v = i32_as_f32(rows).reshape(-1, 3, 3)
+    v0 = v[:, 0]
+    e1 = v[:, 1] - v0
+    e2 = v[:, 2] - v0
+    s1 = jnp.cross(d, e2)
+    det = jnp.sum(s1 * e1, axis=-1)
+    r = jnp.where(det != 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
+    dv = o - v0
+    u = jnp.sum(dv * s1, axis=-1) * r
+    s2 = jnp.cross(dv, e1)
+    w = jnp.sum(d * s2, axis=-1) * r
+    t = jnp.sum(e2 * s2, axis=-1) * r
+    e = EDGE_EPS
+    ok = valid & (det != 0.0) & (u >= -e) & (u <= 1.0 + e) & (w >= -e) \
+        & (u + w <= 1.0 + e) & (t >= t_min) & (t <= t_max)
+    return jnp.where(ok, t, jnp.inf)
+
+
 def _stage1_pruned_core(scene, o, d, t_min, t_max, TILE: int, G: int,
                         SPB: int, P_cap: int, interpret: bool,
                         waves: int = 1):
@@ -639,17 +671,21 @@ def _stage1_pruned_core(scene, o, d, t_min, t_max, TILE: int, G: int,
     # already carries inf at every swept (subgroup, cluster), so the
     # threshold alone excludes the wave set from the remainder.
     t1 = jnp.where(k1 == INT32_MAX, jnp.inf, _t_from_keys(k1, 0))
-    ub = jnp.max(t1.reshape(n_sub, G), axis=1)        # (n_sub,)
-    # Relaxed winner-selection precision (RAYCORE_MM_PRECISION) makes the
-    # wave best-t an UNDER-estimate by up to the mode's relative error;
-    # pruning against it unwidened would drop true winners. Inflate by a
-    # safety factor well above the mode's bound (bf16x3/high ~2^-14,
-    # 1-pass bf16 ~2^-8) — the extra surviving candidates are noise.
     from .pallas_dense import _MM_MODE
-    _ub_margin = {"high": 2.0 ** -12, "bf16x3": 2.0 ** -12,
-                  "default": 2.0 ** -5}.get(_MM_MODE, 0.0)
-    if _ub_margin:
-        ub = ub * (1.0 + _ub_margin) + jnp.float32(1e-7)
+    if _MM_MODE:
+        # Relaxed winner-selection precision (RAYCORE_MM_PRECISION): the
+        # wave keys' error is relative to the accumulated PRODUCT
+        # magnitudes, not to t itself, so under cancellation (tiny
+        # tdet/det vs term magnitudes) NO t-relative margin bounds the
+        # under-estimate — pruning against the relaxed keys could drop
+        # the cluster holding the true winner. Instead recompute the
+        # selected winners' t with full-precision scalar MT: any
+        # exactly-admissible candidate's t upper-bounds the true best t,
+        # so pruning against it is exact no matter which near-tied
+        # triangle the relaxed sweep selected. One narrow hot-row gather
+        # over the wave winners; relaxed modes + passes>=2 only.
+        t1 = _exact_wave_ub_t(scene, p1, o, d, t_min, t_max)
+    ub = jnp.max(t1.reshape(n_sub, G), axis=1)        # (n_sub,)
     ub_t = jnp.take(jnp.concatenate(
         [ub.reshape(n_tiles, SPT), jnp.zeros((1, SPT))]), tclamp, axis=0)
     fine2 = jnp.where(fine_w <= ub_t, fine_w, jnp.inf)

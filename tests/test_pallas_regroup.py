@@ -105,6 +105,58 @@ def test_regroup_multiwave_depth_complex():
     assert cs is not None    # warm fused path was actually taken
 
 
+@pytest.mark.slow
+def test_relaxed_precision_multiwave_prune_exact():
+    """Under RAYCORE_MM_PRECISION=bf16x3 the multiwave remainder prune
+    must NOT drop true winners: the upper bound is now derived from an
+    exact scalar recompute of the wave winners (ADVICE r4 medium — the
+    relaxed keys' error is magnitude-relative, so no t-relative margin
+    is sound). The precision constant resolves at import, so this runs
+    in a fresh subprocess: blobby scene, mixed rays, passes=4 vs the
+    HIGHEST brute oracle — hit masks must match exactly and t must agree
+    to relaxed-tie tolerance on every hit."""
+    import os
+    import subprocess
+    import sys
+    src = r"""
+import os
+os.environ["RAYCORE_MM_PRECISION"] = "bf16x3"
+import numpy as np
+import jax.numpy as jnp
+import raycore_tpu as rc
+from raycore_tpu.accel.brute import closest_hit_brute
+from raycore_tpu.accel.dense import build_dense
+from raycore_tpu.ops.pallas_regroup import closest_hit_regrouped
+
+mesh = rc.blobby_mesh(n_theta=96, n_phi=96)
+scene = build_dense(mesh, cluster_size=128)
+rng = np.random.default_rng(11)
+R = 1024
+o = rng.uniform(-0.5, 0.5, (R, 3)).astype(np.float32)
+o[:, 2] = 2.5
+d = rng.normal(size=(R, 3)).astype(np.float32)
+d /= np.linalg.norm(d, axis=1, keepdims=True)
+d[:, 2] = -np.abs(d[:, 2]) - 0.5
+rays = rc.Ray.create(o=jnp.asarray(o), d=jnp.asarray(np.ascontiguousarray(d)))
+ref = closest_hit_brute(scene.prims, rays)
+for p in (2, 4):
+    got = closest_hit_regrouped(scene, rays, passes=p)
+    rh, gh = np.asarray(ref.hit), np.asarray(got.hit)
+    assert (rh == gh).all(), f"passes={p}: hit-mask flips {int((rh != gh).sum())}"
+    rt, gt = np.asarray(ref.t)[rh], np.asarray(got.t)[rh]
+    rel = np.abs(gt - rt) / np.maximum(np.abs(rt), 1e-6)
+    assert rel.max() < 2.0 ** -12, f"passes={p}: max rel dt {rel.max()}"
+print("RELAXED-WAVE-OK")
+"""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run([sys.executable, "-c", src], env=env,
+                         capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "RELAXED-WAVE-OK" in out.stdout
+
+
 def test_depth_layers_and_auto_passes():
     """depth_layers separates the single-sheet heightfield (~1 layer)
     from the shell-like blobby scene (>=1.5), and passes="auto" resolves
@@ -118,8 +170,12 @@ def test_depth_layers_and_auto_passes():
     bl = build_dense(rc.blobby_mesh(n_theta=96, n_phi=96),
                      cluster_size=128)
     d_hf, d_bl = depth_layers(hf), depth_layers(bl)
-    assert d_hf < 1.6, d_hf
-    assert d_bl >= 1.6, d_bl
+    # Assert with headroom around the 1.6 routing threshold (ADVICE r4):
+    # the measured statistics (hf ~1.44, bl ~1.91) must clear it by a
+    # margin, so benign mesh-generator / cluster_size tweaks that nudge
+    # the statistic don't flip routing silently at the boundary.
+    assert d_hf < 1.5, d_hf
+    assert d_bl > 1.7, d_bl
     assert auto_passes(hf) == 1 and auto_passes(bl) == 4
     # Cached: second call is a dict hit with the same value.
     assert depth_layers(bl) == d_bl
