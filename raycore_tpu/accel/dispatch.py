@@ -31,7 +31,7 @@ def _tracing(x):
 REGROUP_MIN_RAYS = 1 << 19
 
 
-def _dense_query(scene, rays, tile_size):
+def _dense_query(scene, rays, tile_size, payload: str = "full"):
     if _tracing(rays.o):
         # Inside someone's jit the auto-sized worklist's host sync cannot
         # run. The XLA rounds engine is the best all-rounder there: for
@@ -76,12 +76,13 @@ def _dense_query(scene, rays, tile_size):
             # passes=1 that auto-resolves to 4 must still route to its
             # compiled fused engine, not fall through to the worklist
             # path (ADVICE r4).
-            if opt_in or has_warm_capacity(scene, n_rays, passes="auto"):
+            if opt_in or has_warm_capacity(scene, n_rays, passes="auto",
+                                           payload=payload):
                 return closest_hit_regrouped(scene, rays, tile=2048,
-                                             passes="auto")
-            if has_warm_capacity(scene, n_rays, passes=1):
+                                             passes="auto", payload=payload)
+            if has_warm_capacity(scene, n_rays, passes=1, payload=payload):
                 return closest_hit_regrouped(scene, rays, tile=2048,
-                                             passes=1)
+                                             passes=1, payload=payload)
         if scene.sub_chunks >= 2 and opt_in:
             return closest_hit_packed(scene, rays, tile=2048)
     from ..ops.pallas_dense import closest_hit_dense_pallas_auto
@@ -90,17 +91,23 @@ def _dense_query(scene, rays, tile_size):
 
 
 def scene_closest_hit(scene, rays, *, tile_size: int = 16384,
-                      **trav_kw) -> HitResult:
+                      payload: str = "full", **trav_kw) -> HitResult:
     """Generic closest-hit over any scene form — the package-level
     ``rc.closest_hit``. Dispatches by scene type the way the reference's
     multiple dispatch does over `AbstractAccel` (src/Raycore.jl:23-47):
     StaticTLAS -> two-level traversal, DenseScene -> MXU engines,
     DenseInstancedScene -> instanced sweep. Extra keyword args
-    (stack_size, max_iters, substeps) apply to the traversal engine only."""
+    (stack_size, max_iters, substeps) apply to the traversal engine only.
+
+    payload="slim" (DenseScene fast path only) declares that the caller
+    never reads triangle/barycentric: the regrouped engine then skips
+    the per-ray payload gather + exact recompute (hit/t/prim/instance/
+    metadata stay exact). Engines without a slim mode ignore the hint
+    and return the full payload — slim consumers are unaffected."""
     if isinstance(scene, DenseScene):
         if trav_kw:
             raise TypeError(f"dense-engine queries do not accept {trav_kw}")
-        return _dense_query(scene, rays, tile_size)
+        return _dense_query(scene, rays, tile_size, payload=payload)
     from ..scene.instanced import DenseInstancedScene
     if isinstance(scene, DenseInstancedScene):
         if _tracing(rays.o):

@@ -189,19 +189,28 @@ def group_cluster_major(tids, cids, fine_entry, *, SPT: int, SPB: int,
 
 
 def _kernel(subs_ref, cids_ref, *refs, C: int, G: int, SPB: int,
-            edge_eps: float, payload: str = "prim", chunk_base: int = 0):
-    tbl_refs = refs[:SPB]
-    feats_ref = refs[SPB]
-    key_out, pair_out = refs[SPB + 1], refs[SPB + 2]
+            edge_eps: float, payload: str = "prim", chunk_base: int = 0,
+            U: int = 1):
+    """U = blocks swept per grid step (RAYCORE_REGROUP_UNROLL): the
+    per-step fixed cost (scalar-prefetch DMA issue + grid bookkeeping,
+    the 6.69-vs-2.3 us/block gap in the round-4 decomposition) amortizes
+    over U independent (ROWS, 4C) sweeps back-to-back on the MXU."""
+    tbl_refs = refs[:U * SPB]
+    feats_refs = refs[U * SPB:U * SPB + U]
+    key_out, pair_out = refs[U * SPB + U], refs[U * SPB + U + 1]
     b = pl.program_id(0)
-    cid = cids_ref[b]
+    ROWS = G * SPB
+    for u in range(U):
+        cid = cids_ref[b * U + u]
 
-    @pl.when(cid >= 0)
-    def _():
-        tbl = jnp.concatenate([r[0] for r in tbl_refs], axis=0)  # (ROWS,16)
-        _sweep_tbl(tbl, feats_ref[0], key_out, pair_out, cid, b,
-                   C=C, G=G, SPB=SPB, edge_eps=edge_eps, payload=payload,
-                   chunk_base=chunk_base)
+        @pl.when(cid >= 0)
+        def _(u=u, cid=cid):
+            tbl = jnp.concatenate(
+                [r[0] for r in tbl_refs[u * SPB:(u + 1) * SPB]], axis=0)
+            _sweep_tbl(tbl, feats_refs[u][0], key_out, pair_out,
+                       cid, b * U + u, C=C, G=G, SPB=SPB,
+                       edge_eps=edge_eps, payload=payload,
+                       chunk_base=chunk_base, row_off=u * ROWS)
 
 
 def _kernel_contig(cids_ref, tbl_ref, feats_ref, key_out, pair_out, *,
@@ -222,7 +231,8 @@ def _kernel_contig(cids_ref, tbl_ref, feats_ref, key_out, pair_out, *,
 
 
 def _sweep_tbl(tbl, feats, key_out, pair_out, cid, b, *, C: int, G: int,
-               SPB: int, edge_eps: float, payload: str, chunk_base: int):
+               SPB: int, edge_eps: float, payload: str, chunk_base: int,
+               row_off: int = 0):
     tmin = tbl[:, COL_TMIN:COL_TMIN + 1]
     tmax = tbl[:, COL_TMAX:COL_TMAX + 1]
     # Zero the tmin/tmax carrier columns for the matmul: their feature
@@ -250,7 +260,8 @@ def _sweep_tbl(tbl, feats, key_out, pair_out, cid, b, *, C: int, G: int,
     ids = jax.lax.broadcasted_iota(jnp.int32, kb.shape, 1)
     lane = jnp.min(jnp.where(kb == key_min, ids, jnp.int32(C)),
                    axis=1, keepdims=True)   # smallest prim on ties
-    key_out[:] = key_min
+    ROWS = G * SPB
+    key_out[row_off:row_off + ROWS, :] = key_min
     if payload == "pairrow":
         # Instanced engine payload: (global block-row index, lane) —
         # the same prim can be hit through different instances, so
@@ -260,7 +271,8 @@ def _sweep_tbl(tbl, feats, key_out, pair_out, cid, b, *, C: int, G: int,
         base = ((chunk_base + b) * SPB + rows // G) * C
     else:
         base = cid * C
-    pair_out[:] = jnp.where(key_min == INT32_MAX, -1, base + lane)
+    pair_out[row_off:row_off + ROWS, :] = jnp.where(
+        key_min == INT32_MAX, -1, base + lane)
 
 
 REGROUP_CHUNK = 4096    # blocks per pallas_call (scalar ids live in SMEM)
@@ -278,16 +290,27 @@ def _tbl_mode_default() -> str:
     return _os.environ.get("RAYCORE_REGROUP_TBL", "gather")
 
 
+def _unroll_default() -> int:
+    """Blocks swept per grid step (RAYCORE_REGROUP_UNROLL, default 1).
+    U>1 amortizes the per-grid-step fixed cost (the 6.69-vs-2.3 us/block
+    matmul-issue gap, docs/performance.md round-4 decomposition) over U
+    back-to-back sweeps. Resolved at trace time."""
+    return int(_os.environ.get("RAYCORE_REGROUP_UNROLL", "1"))
+
+
 @partial(jax.jit, static_argnames=("G", "SPB", "C", "n_blocks", "interpret",
-                                   "payload", "tbl_mode"))
+                                   "payload", "tbl_mode", "unroll"))
 def run_regrouped(block_subs, block_cid, tbl, feats, *, G: int, SPB: int,
                   C: int, n_blocks: int, interpret: bool,
-                  payload: str = "prim", tbl_mode: str = "gather"):
+                  payload: str = "prim", tbl_mode: str = "gather",
+                  unroll: int = 1):
     """Sweep ``n_blocks`` cluster-major blocks. Returns (key, pair) of
     shape (n_blocks*SPB*G,) in block-row order (use block_subs for the
     row -> ray mapping). payload="pairrow" makes the winner id encode
     (block-row, lane) instead of (cluster, lane) — the instanced engine
-    needs the pair to recover the instance."""
+    needs the pair to recover the instance. ``unroll`` must be resolved
+    by the CALLER (outside jit — _unroll_default()): it is a static arg,
+    so env changes re-trace only when the resolved value changes."""
     ROWS = G * SPB
 
     # Scalar-prefetch arrays live in SMEM, where 2D minor dims pad to the
@@ -302,6 +325,46 @@ def run_regrouped(block_subs, block_cid, tbl, feats, *, G: int, SPB: int,
     for ch in range(n_chunks):
         lo = ch * REGROUP_CHUNK
         sz = min(REGROUP_CHUNK, n_blocks - lo)
+        U = unroll if (unroll > 1 and sz % unroll == 0
+                       and tbl_mode != "contig") else 1
+        if U > 1:
+            def tbl_spec_u(u, s):
+                return pl.BlockSpec(
+                    (1, G, FEAT),
+                    lambda b, subs, cids, u=u, s=s: (
+                        subs[(b * U + u) * SPB + s], 0, 0))
+
+            def feats_spec_u(u):
+                return pl.BlockSpec(
+                    (1, FEAT, 4 * C),
+                    lambda b, subs, cids, u=u: (
+                        jnp.maximum(cids[b * U + u], 0), 0, 0))
+
+            kernel = partial(_kernel, C=C, G=G, SPB=SPB, edge_eps=1e-5,
+                             payload=payload, chunk_base=lo, U=U)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(sz // U,),
+                in_specs=[tbl_spec_u(u, s) for u in range(U)
+                          for s in range(SPB)] + [
+                    feats_spec_u(u) for u in range(U)],
+                out_specs=[pl.BlockSpec(
+                    (U * ROWS, 1),
+                    lambda b, subs, cids: (b, 0))] * 2,
+            )
+            ins = (block_subs[lo:lo + sz].reshape(-1),
+                   block_cid[lo:lo + sz]) + tuple([tbl] * (U * SPB)) \
+                + tuple([feats] * U)
+            k, p = pl.pallas_call(
+                kernel, grid_spec=grid_spec,
+                out_shape=[jax.ShapeDtypeStruct((sz * ROWS, 1),
+                                                jnp.int32)] * 2,
+                compiler_params=_VMEM_PARAMS,
+                interpret=interpret,
+            )(*ins)
+            keys.append(k[:, 0])
+            pairs.append(p[:, 0])
+            continue
         if tbl_mode == "contig":
             tblb = jnp.take(tbl, block_subs[lo:lo + sz].reshape(-1),
                             axis=0).reshape(sz, ROWS, FEAT)
@@ -664,7 +727,8 @@ def _stage1_pruned_core(scene, o, d, t_min, t_max, TILE: int, G: int,
         SPB=SPB, n_sub=n_sub, B_cap=B1, K=K)
     k1r, p1r = run_regrouped(bs1, bc1, tbl, scene.tri_feats, G=G, SPB=SPB,
                              C=C, n_blocks=B1, interpret=interpret,
-                             tbl_mode=_tbl_mode_default())
+                             tbl_mode=_tbl_mode_default(),
+                             unroll=_unroll_default())
     k1, p1 = combine_rows_grouped(k1r, p1r, bs1, B1, G, SPB, n_sub)
 
     # Per-subgroup upper bound on the remaining useful entry t. fine_w
@@ -703,10 +767,12 @@ def _stage1_pruned(scene, o, d, t_min, t_max, *, TILE: int, G: int,
 
 
 @partial(jax.jit, static_argnames=("TILE", "G", "SPB", "P_cap", "nb",
-                                   "interpret", "combine", "R0", "waves"))
+                                   "interpret", "combine", "R0", "waves",
+                                   "payload"))
 def _fused_query_pruned(scene, o, d, t_min, t_max, *, TILE: int, G: int,
                         SPB: int, P_cap: int, nb: int, interpret: bool,
-                        combine: str, R0: int, waves: int):
+                        combine: str, R0: int, waves: int,
+                        payload: str = "full"):
     """One-dispatch warm path for the ordered-wave (passes>=2) engine:
     wave stage1 + remainder sweep with a PREDICTED remainder grid, same
     predict-then-validate contract as _fused_query. The wave grid is
@@ -717,7 +783,7 @@ def _fused_query_pruned(scene, o, d, t_min, t_max, *, TILE: int, G: int,
     block_cid, block_subs, tbl, total, coarse_total, k1, p1 = out
     res = _stage2_core(scene, block_cid, block_subs, tbl, o[:R0], d[:R0],
                        G, SPB, nb, interpret, combine, o.shape[0],
-                       k1, p1)
+                       k1, p1, payload)
     csum = jnp.sum(res.t[::257], dtype=jnp.float32)
     return res, jnp.stack([total, coarse_total,
                            jax.lax.bitcast_convert_type(csum, jnp.int32)])
@@ -846,7 +912,7 @@ def _packed_get(scene, ck):
             return ent
         del _PACKED_CACHE[ck]
         return None
-    hint = _cap_store.load_hint(ck)     # cross-process hint (validated)
+    hint = _cap_store.load_hint(ck, scene)  # cross-process hint (validated)
     if hint is not None:
         import weakref as _wr
         try:
@@ -861,7 +927,7 @@ def _packed_put(scene, ck, p, q, nb):
     import weakref as _wr
     _PACKED_CACHE[ck] = dict(p=p, q=q, nb=nb,
                              ref=_wr.ref(scene.tri_feats))
-    _cap_store.save_hint(ck, _PACKED_CACHE[ck])
+    _cap_store.save_hint(ck, _PACKED_CACHE[ck], scene)
 
 
 def closest_hit_packed(scene, rays, *, tile: int = 2048, subgroup: int = 32,
@@ -1101,10 +1167,10 @@ def _fused_query_cm(scene, o, d, t_min, t_max, *, TILE: int, G: int,
 
 @partial(jax.jit, static_argnames=("TILE", "G", "SPB", "P_cap", "nb",
                                    "interpret", "combine", "R0",
-                                   "occlusion"))
+                                   "payload"))
 def _fused_query(scene, o, d, t_min, t_max, *, TILE: int, G: int, SPB: int,
                  P_cap: int, nb: int, interpret: bool, combine: str,
-                 R0: int, occlusion: bool = False):
+                 R0: int, payload: str = "full"):
     """One-dispatch warm path: stage1 + stage2 with a PREDICTED block
     grid (from the call site's previous query). The caller validates the
     returned totals post-hoc and falls back to the two-stage path when
@@ -1115,7 +1181,7 @@ def _fused_query(scene, o, d, t_min, t_max, *, TILE: int, G: int, SPB: int,
     block_cid, block_subs, tbl, total, coarse_total = out
     res = _stage2_core(scene, block_cid, block_subs, tbl, o[:R0], d[:R0],
                        G, SPB, nb, interpret, combine, o.shape[0],
-                       None, None, occlusion)
+                       None, None, payload)
     # One packed totals array = one host readback for the validation.
     # A result checksum rides along in the same readback: a strided sum
     # over the result's t is value-dependent on the WHOLE query, so the
@@ -1124,7 +1190,8 @@ def _fused_query(scene, o, d, t_min, t_max, *, TILE: int, G: int, SPB: int,
     # without a second probe dispatch + roundtrip.
     # Occlusion results carry t == 0 (constant — XLA would fold a t-sum
     # without running the query); sum the occluder ids instead.
-    carrier = res.prim_idx.astype(jnp.float32) if occlusion else res.t
+    carrier = res.prim_idx.astype(jnp.float32) \
+        if payload == "occlusion" else res.t
     csum = jnp.sum(carrier[::257], dtype=jnp.float32)
     return res, jnp.stack([total, coarse_total,
                            jax.lax.bitcast_convert_type(csum, jnp.int32)])
@@ -1132,7 +1199,7 @@ def _fused_query(scene, o, d, t_min, t_max, *, TILE: int, G: int, SPB: int,
 
 def _stage2_core(scene, block_cid, block_subs, tbl, o, d, G, SPB,
                  n_blocks, interpret, combine, R_pad, k1, p1,
-                 occlusion: bool = False):
+                 payload: str = "full"):
     from ..accel.dense import finalize_hits_exact
     C = scene.cluster_size
     R = o.shape[0]
@@ -1140,7 +1207,8 @@ def _stage2_core(scene, block_cid, block_subs, tbl, o, d, G, SPB,
     key, pair = run_regrouped(block_subs, block_cid, tbl, scene.tri_feats,
                               G=G, SPB=SPB, C=C, n_blocks=n_blocks,
                               interpret=interpret,
-                              tbl_mode=_tbl_mode_default())
+                              tbl_mode=_tbl_mode_default(),
+                              unroll=_unroll_default())
     if combine == "grouped":
         out_key, out_pair = combine_rows_grouped(
             key, pair, block_subs, n_blocks, G, SPB, n_sub)
@@ -1155,12 +1223,15 @@ def _stage2_core(scene, block_cid, block_subs, tbl, o, d, G, SPB,
                                     & ((p1 < out_pair) | (out_pair < 0)))
         out_key = jnp.where(better1, k1, out_key)
         out_pair = jnp.where(better1, p1, out_pair)
-    if occlusion:
+    if payload in ("occlusion", "slim"):
         # Occlusion contract (reference any_hit early-exit semantics,
         # src/instanced-bvh.jl:2034-2140): only hit + occluder prim +
         # instance are contractual — skip the payload finalize entirely
         # (the closest path's hot+cold gathers are the ~12-25 ms/1M-ray
-        # term, docs/performance.md).
+        # term, docs/performance.md). The "slim" closest-hit variant
+        # keeps the same skip but ALSO returns the true t (free — it is
+        # the full-precision winning key) for consumers that never read
+        # triangle/barycentric (view_factors, AO, collision probes).
         from ..accel.brute import HitResult
         from ..accel.dense import _hit_instance_idx
         from ..core.triangle import Triangle
@@ -1168,12 +1239,23 @@ def _stage2_core(scene, block_cid, block_subs, tbl, o, d, G, SPB,
         hit = pair_r >= 0
         ids = jnp.take(scene.prims_hot[:, 10], jnp.clip(pair_r, 0, None))
         orig = jnp.where(hit, ids, -1)
+        if payload == "slim":
+            t = _t_from_keys(out_key[:R], 0)
+            t = jnp.where(hit, t, 0.0)
+            # metadata rides along (one narrow 4 B gather): view_factors
+            # and illumination consume only hit/metadata — slim serves
+            # them without the 160 B payload gather.
+            meta = jnp.where(hit, jnp.take(
+                scene.prims.metadata, jnp.clip(orig, 0, None), axis=0,
+                mode="clip"), 0)
+        else:
+            t = jnp.zeros((R,), jnp.float32)
+            meta = jnp.zeros((R,), scene.prims.metadata.dtype)
         z3 = jnp.zeros((R, 3, 3), jnp.float32)
         tri = Triangle(vertices=z3, normals=z3, tangents=z3,
                        uv=jnp.zeros((R, 3, 2), jnp.float32),
-                       metadata=jnp.zeros((R,), jnp.uint32))
-        return HitResult(hit=hit, triangle=tri,
-                         t=jnp.zeros((R,), jnp.float32),
+                       metadata=meta)
+        return HitResult(hit=hit, triangle=tri, t=t,
                          barycentric=jnp.zeros((R, 3), jnp.float32),
                          prim_idx=orig,
                          instance_idx=_hit_instance_idx(scene, orig, hit))
@@ -1182,13 +1264,13 @@ def _stage2_core(scene, block_cid, block_subs, tbl, o, d, G, SPB,
 
 
 @partial(jax.jit, static_argnames=("G", "SPB", "n_blocks", "interpret",
-                                   "combine", "R_pad", "occlusion"))
+                                   "combine", "R_pad", "payload"))
 def _stage2(scene, block_cid, block_subs, tbl, o, d, *, G: int, SPB: int,
             n_blocks: int, interpret: bool, combine: str, R_pad: int,
-            k1=None, p1=None, occlusion: bool = False):
+            k1=None, p1=None, payload: str = "full"):
     return _stage2_core(scene, block_cid, block_subs, tbl, o, d, G, SPB,
                         n_blocks, interpret, combine, R_pad, k1, p1,
-                        occlusion)
+                        payload)
 
 
 # Per-(scene, query-shape) capacity memory: repeated queries (bench reps,
@@ -1211,7 +1293,7 @@ def _cache_get(scene, ck):
         # Fresh process / fresh scene: adopt a persisted hint from a
         # previous process at this (shape, params) key. Safe because
         # every prediction is validated post-hoc (capacity_store.py).
-        hint = _cap_store.load_hint(ck)
+        hint = _cap_store.load_hint(ck, scene)
         if hint is not None:
             try:
                 hint["ref"] = _weakref.ref(scene.tri_feats)
@@ -1235,7 +1317,7 @@ def _cache_put(scene, ck, coarse, nb):
     while len(_CAPACITY_CACHE) >= _CAPACITY_CACHE_MAX:
         _CAPACITY_CACHE.pop(next(iter(_CAPACITY_CACHE)))
     _CAPACITY_CACHE[ck] = dict(coarse=coarse, nb=nb, ref=ref)
-    _cap_store.save_hint(ck, _CAPACITY_CACHE[ck])
+    _cap_store.save_hint(ck, _CAPACITY_CACHE[ck], scene)
 
 
 def _next_pow2(n: int) -> int:
@@ -1263,7 +1345,8 @@ def auto_passes(scene) -> int:
 
 def has_warm_capacity(scene, n_rays: int, *, tile: int = 2048,
                       subgroup: int = 32, spb: int = 16,
-                      passes=1, occlusion: bool = False) -> bool:
+                      passes=1, occlusion: bool = False,
+                      payload: str = "full") -> bool:
     """True when a previous regrouped query at this (scene, shape,
     params) has populated the capacity cache — i.e. the fused one-
     dispatch executables exist and a repeat query is cheap. dispatch
@@ -1273,9 +1356,11 @@ def has_warm_capacity(scene, n_rays: int, *, tile: int = 2048,
         return False
     if passes == "auto":
         passes = auto_passes(scene)
+    if occlusion:
+        payload = "occlusion"
     G, TILE, Rp = _shape_params(n_rays, tile, subgroup)
     ck = (id(scene.tri_feats), scene.tri_feats.shape, Rp, TILE, G, spb,
-          passes, occlusion)
+          passes, payload)
     return _cache_get(scene, ck) is not None
 
 
@@ -1455,7 +1540,7 @@ def _cache_put_cm(scene, ck, coarse, q, nb):
     while len(_CAPACITY_CACHE) >= _CAPACITY_CACHE_MAX:
         _CAPACITY_CACHE.pop(next(iter(_CAPACITY_CACHE)))
     _CAPACITY_CACHE[ck] = dict(coarse=coarse, q=q, nb=nb, ref=ref)
-    _cap_store.save_hint(ck, _CAPACITY_CACHE[ck])
+    _cap_store.save_hint(ck, _CAPACITY_CACHE[ck], scene)
 
 
 def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
@@ -1464,6 +1549,7 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
                           with_checksum: bool = False,
                           stage1: str | None = None,
                           deferred: bool = False,
+                          payload: str = "full",
                           _occlusion: bool = False):
     """Exact closest hit via the cluster-major regrouped sweep. One host
     sync reads the true block count and pow2-buckets the kernel grid
@@ -1486,16 +1572,28 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
     stage1: "sort" (default; env RAYCORE_REGROUP_STAGE1 overrides) uses
     the two-key grouping sort; "compact" (passes=1 only) compacts the
     transposed phase-A matrix so blocks pack sort-free — same candidate
-    set, different block order."""
+    set, different block order.
+
+    payload: "full" (default) gathers the winning triangle and returns
+    the exact (t, barycentric, triangle) payload; "slim" returns the
+    same exact hit/t/prim_idx/instance_idx but ZERO triangle/barycentric
+    — skipping the 160 B/ray payload gather + scalar recompute for
+    consumers that never read them (view_factors, AO, collision
+    probes); "occlusion" is any_hit_regrouped's internal mode."""
     if scene.sub_chunks != 1:
         raise ValueError("regrouped engine requires sub_chunks=1 scenes")
     if passes == "auto":
         passes = auto_passes(scene)
+    if _occlusion:
+        payload = "occlusion"
+    if payload not in ("full", "slim", "occlusion"):
+        raise ValueError(f"payload must be 'full', 'slim' or 'occlusion',"
+                         f" got {payload}")
     if stage1 is None:
         stage1 = _os.environ.get("RAYCORE_REGROUP_STAGE1", "sort")
     if stage1 not in ("sort", "compact"):
         raise ValueError(f"stage1 must be 'sort' or 'compact', got {stage1}")
-    if stage1 == "compact" and passes == 1 and not _occlusion:
+    if stage1 == "compact" and passes == 1 and payload == "full":
         return _closest_hit_regrouped_cm(
             scene, rays, tile=tile, subgroup=subgroup, spb=spb,
             pairs_per_tile=pairs_per_tile, combine=combine,
@@ -1523,7 +1621,7 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
     hard = n_tiles * scene.n_clusters
     P_cap = min(pairs_per_tile * n_tiles, hard)
     ck = (id(scene.tri_feats), scene.tri_feats.shape, o.shape[0], TILE, G,
-          SPB, passes, _occlusion)
+          SPB, passes, payload)
     cached = _cache_get(scene, ck)
     if cached is not None:
         # 4096-multiple buckets: tight enough to shrink the grouping N,
@@ -1535,7 +1633,7 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
         lambda a: a.reshape(batch + a.shape[1:]), res)
 
     if cached is not None and combine == "grouped" \
-            and not (passes > 1 and _occlusion):
+            and not (passes > 1 and payload == "occlusion"):
         # Warm path: ONE dispatch with the predicted block grid; validate
         # the totals afterwards and fall back when the prediction missed.
         B_cap = P_cap * (TILE // G) // SPB + scene.n_clusters + 1
@@ -1544,12 +1642,13 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
             res, totals = _fused_query(
                 scene, o, d, t_min, t_max, TILE=TILE, G=G, SPB=SPB,
                 P_cap=P_cap, nb=nb_pred, interpret=interpret,
-                combine=combine, R0=R0, occlusion=_occlusion)
+                combine=combine, R0=R0, payload=payload)
         else:
             res, totals = _fused_query_pruned(
                 scene, o, d, t_min, t_max, TILE=TILE, G=G, SPB=SPB,
                 P_cap=P_cap, nb=nb_pred, interpret=interpret,
-                combine=combine, R0=R0, waves=passes - 1)
+                combine=combine, R0=R0, waves=passes - 1,
+                payload=payload)
         import numpy as _np
         if deferred:
             # Pipelined-dispatch mode: hand back the UNSYNCED result plus
@@ -1616,7 +1715,7 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
     res = _stage2(scene, block_cid, block_subs, tbl, o[:R0], d[:R0],
                   G=G, SPB=SPB, n_blocks=nb, interpret=interpret,
                   combine=combine, R_pad=o.shape[0], k1=k1, p1=p1,
-                  occlusion=_occlusion)
+                  payload=payload)
     res = jax.tree_util.tree_map(
         lambda a: a.reshape(batch + a.shape[1:]), res)
     if deferred:

@@ -105,6 +105,111 @@ def test_regroup_multiwave_depth_complex():
     assert cs is not None    # warm fused path was actually taken
 
 
+@pytest.mark.parametrize("passes", [1, 2])
+def test_regroup_slim_payload(passes):
+    """payload="slim" skips the triangle-payload gather but must keep
+    hit/t/prim_idx/instance_idx/metadata EXACTLY equal to the full
+    result; triangle vertices and barycentric are contractually zero."""
+    scene, rays = _scene_and_rays(coherent=True)
+    full = closest_hit_regrouped(scene, rays, passes=passes)
+    slim = closest_hit_regrouped(scene, rays, passes=passes,
+                                 payload="slim")
+    assert np.array_equal(np.asarray(full.hit), np.asarray(slim.hit))
+    assert np.array_equal(np.asarray(full.prim_idx),
+                          np.asarray(slim.prim_idx))
+    assert np.array_equal(np.asarray(full.instance_idx),
+                          np.asarray(slim.instance_idx))
+    assert np.array_equal(np.asarray(full.triangle.metadata),
+                          np.asarray(slim.triangle.metadata))
+    h = np.asarray(full.hit)
+    # full.t is the exact scalar recompute; slim.t is the full-precision
+    # winning key — identical math modulo the recompute's rounding.
+    np.testing.assert_allclose(np.asarray(slim.t)[h],
+                               np.asarray(full.t)[h], rtol=2e-6, atol=2e-7)
+    assert not np.asarray(slim.triangle.vertices).any()
+    assert not np.asarray(slim.barycentric).any()
+    # Warm repeat must route through the fused slim executable and stay
+    # identical.
+    slim2, cs = closest_hit_regrouped(scene, rays, passes=passes,
+                                      payload="slim", with_checksum=True)
+    assert np.array_equal(np.asarray(slim.prim_idx),
+                          np.asarray(slim2.prim_idx))
+    assert cs is not None
+
+
+def test_capacity_hints_not_shared_across_scene_content(tmp_path,
+                                                        monkeypatch):
+    """Two scenes with IDENTICAL padded shapes but different geometry
+    (heightfield vs blobby both pad to the same (K, 16, 4C)) must NOT
+    share persisted capacity hints: hints are sticky-max, so the denser
+    scene's counts would permanently inflate the sparser scene's
+    capacities — the measured round-4 4.64-vs-7.57 Mrays/s headline
+    discrepancy (226 ms with polluted hints vs 138 ms scene-true)."""
+    monkeypatch.setenv("RAYCORE_CAPACITY_DIR", str(tmp_path))
+    from raycore_tpu.ops import capacity_store as cs
+    hf = build_dense(rc.displaced_grid_mesh(n=40, extent=2.0,
+                                            amplitude=0.35),
+                     cluster_size=128)
+    bl = build_dense(rc.blobby_mesh(n_theta=40, n_phi=40),
+                     cluster_size=128)
+    ck = (id(hf.tri_feats), hf.tri_feats.shape, 4096, 2048, 32, 16, 1,
+          "full")
+    cs.save_hint(ck, dict(coarse=999_999, nb=65536), bl)
+    # Same ck shape-tail, different scene content: must MISS.
+    assert cs.load_hint(ck, hf) is None
+    assert cs.load_hint(ck, bl) == dict(coarse=999_999, nb=65536)
+    # Same scene, fresh fingerprint cache entry: still hits.
+    cs._FP_CACHE.clear()
+    assert cs.load_hint(ck, bl) is not None
+
+
+@pytest.mark.slow
+def test_regroup_unroll_parity():
+    """RAYCORE_REGROUP_UNROLL=2/4 (U blocks per grid step — amortizes
+    the per-step fixed cost) must be bit-identical to the U=1 engine.
+    The enclosing fused-query jits resolve the env at trace time, so
+    this runs in a fresh subprocess."""
+    import os
+    import subprocess
+    import sys
+    src = r"""
+import os
+import numpy as np
+import jax.numpy as jnp
+import raycore_tpu as rc
+from raycore_tpu.accel.brute import closest_hit_brute
+from raycore_tpu.accel.dense import build_dense
+from raycore_tpu.ops.pallas_regroup import closest_hit_regrouped
+
+os.environ["RAYCORE_REGROUP_UNROLL"] = os.environ["TEST_UNROLL"]
+mesh = rc.displaced_grid_mesh(n=40, extent=2.0, amplitude=0.35)
+scene = build_dense(mesh, cluster_size=128)
+side = 32
+xs = np.linspace(-0.9, 0.9, side, dtype=np.float32)
+X, Y = np.meshgrid(xs, xs, indexing="ij")
+o = np.stack([X, Y, np.full_like(X, 3.0)], -1).reshape(-1, 3)
+d = np.broadcast_to(np.array([0, 0, -1], np.float32), o.shape).copy()
+rays = rc.Ray.create(o=jnp.asarray(o), d=jnp.asarray(d))
+ref = closest_hit_brute(scene.prims, rays)
+for passes in (1, 2):
+    got = closest_hit_regrouped(scene, rays, passes=passes)
+    assert np.array_equal(np.asarray(ref.hit), np.asarray(got.hit)), passes
+    h = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(got.t)[h], np.asarray(ref.t)[h],
+                               rtol=2e-5, atol=2e-6)
+print("UNROLL-OK")
+"""
+    for u in ("2", "4"):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["TEST_UNROLL"] = u
+        out = subprocess.run([sys.executable, "-c", src], env=env,
+                             capture_output=True, text=True, timeout=900)
+        assert out.returncode == 0, f"U={u}: {out.stderr[-3000:]}"
+        assert "UNROLL-OK" in out.stdout
+
+
 @pytest.mark.slow
 def test_relaxed_precision_multiwave_prune_exact():
     """Under RAYCORE_MM_PRECISION=bf16x3 the multiwave remainder prune

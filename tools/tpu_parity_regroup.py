@@ -49,18 +49,33 @@ d[:, 2] = -np.abs(d[:, 2]) - 0.2
 d[::7] = [0.0, 0.0, -1.0]
 rays = rc.Ray.create(o=jnp.asarray(o), d=jnp.asarray(d))
 
+RELAXED = bool(os.environ.get("RAYCORE_MM_PRECISION"))
+
+
 def check(tag, rays):
     ref = closest_hit_brute(scene.prims, rays, ray_chunk=2048)
     got = query(rays)
     rh, gh = np.asarray(ref.hit), np.asarray(got.hit)
-    assert np.array_equal(rh, gh), f"{tag}: hit mismatch {np.sum(rh != gh)}"
-    both = rh
+    flips = int(np.sum(rh != gh))
+    if RELAXED:
+        # Relaxed winner selection (RAYCORE_MM_PRECISION) legitimately
+        # flips edge-marginal accept/reject decisions — the mode's
+        # documented contract is flip RATE, not exact masks (measured
+        # device rate ~1e-4 incoherent, ~4e-4 on lattice-degenerate
+        # grids). Report the rate and bound it.
+        print(f"{tag}: relaxed-mode hit-mask flips {flips}/{rh.size} "
+              f"({flips / rh.size:.2e})", flush=True)
+        assert flips / rh.size < 2e-3, f"{tag}: flip rate beyond bound"
+    else:
+        assert flips == 0, f"{tag}: hit mismatch {flips}"
+    both = rh & gh
     rt, gt = np.asarray(ref.t)[both], np.asarray(got.t)[both]
     np.testing.assert_allclose(gt, rt, rtol=2e-5, atol=2e-6)
     pm = (np.asarray(ref.prim_idx)[both] == np.asarray(got.prim_idx)[both])
     dd = (np.abs(gt - rt)[~pm] / np.maximum(rt[~pm], 1e-6)
           if (~pm).any() else 0)
-    print(f"{tag}: rays={rh.size} hit-mask-mismatch=0 hits={both.sum()} "
+    print(f"{tag}: rays={rh.size} hit-mask-mismatch={flips} "
+          f"hits={both.sum()} "
           f"prim-match={pm.mean():.5f} "
           f"max-rel-dt-of-flips={np.max(dd) if (~pm).any() else 0:.2e}",
           flush=True)
