@@ -193,7 +193,8 @@ def inner():
     reps = int(os.environ.get("RAYCORE_BENCH_REPS", 5))
     engine = os.environ.get("RAYCORE_BENCH_ENGINE", "regroup")
     tile = int(os.environ.get("RAYCORE_BENCH_TILE",
-                              2048 if engine == "regroup" else 512))
+                              2048 if engine in ("regroup", "auto",
+                                                 "occlusion") else 512))
     cluster = int(os.environ.get("RAYCORE_BENCH_CLUSTER", 128))
     select = int(os.environ.get("RAYCORE_BENCH_SELECT", 4))
 

@@ -224,7 +224,18 @@ def _dense_tables_from_hot(hot, cluster_size: int, sub_chunks: int):
         .at[:, 0, : SUB * 6].set(sb)
     cmin = jnp.min(smin, axis=1)
     cmax = jnp.max(smax, axis=1)
-    root = jnp.stack([jnp.min(cmin, 0), jnp.max(cmax, 0)])
+    # Root AABB over REAL triangles only: capacity padding lives at
+    # PAD_COORD (1e30) and sorts into the tail clusters, so an unmasked
+    # reduce reported root max = 1e30 — corrupting world_bound, the
+    # prewarm ray grids (rays from z=1e30 hit nothing, so prewarmed
+    # capacity hints were sized on a miss-all workload), and the scene
+    # content fingerprint. Cluster/sub-chunk bounds keep the sentinel
+    # spans (phase A's finite-arithmetic contract).
+    from .types import PAD_COORD
+    tvalid = jnp.all(jnp.abs(v) < PAD_COORD * 0.5, axis=(1, 2))   # (T,)
+    vmin = jnp.where(tvalid[:, None], jnp.min(v, axis=1), jnp.inf)
+    vmax = jnp.where(tvalid[:, None], jnp.max(v, axis=1), -jnp.inf)
+    root = jnp.stack([jnp.min(vmin, 0), jnp.max(vmax, 0)])
     return blocks, cmin, cmax, sub_bounds, root
 
 

@@ -986,6 +986,9 @@ def closest_hit_packed(scene, rays, *, tile: int = 2048, subgroup: int = 32,
                     hard_p)
         Q_cap = min(max(4096, -(-int(cached["q"] * 1.2) // 4096) * 4096),
                     hard_q)
+    # The compacted pair list is drawn from the (P_cap, SPT) candidate
+    # matrix — a Q_cap beyond its size is shape-invalid (small scenes).
+    Q_cap = min(Q_cap, P_cap * (TILE // G))
 
     reshape_out = lambda res: jax.tree_util.tree_map(
         lambda a: a.reshape(batch + a.shape[1:]), res)
@@ -1047,6 +1050,7 @@ def closest_hit_packed(scene, rays, *, tile: int = 2048, subgroup: int = 32,
             P_cap = min(2 * P_cap, hard_p)
         if not ok_q:
             Q_cap = min(2 * Q_cap, hard_q)
+        Q_cap = min(Q_cap, P_cap * (TILE // G))
     nb = 1 << max(9, (max(total, 1) - 1).bit_length())
     nb = min(-(-nb // packs) * packs, block_cid.shape[0] // packs * packs)
     nb = max(nb, -(-total // packs) * packs)
@@ -1359,8 +1363,19 @@ def has_warm_capacity(scene, n_rays: int, *, tile: int = 2048,
     if occlusion:
         payload = "occlusion"
     G, TILE, Rp = _shape_params(n_rays, tile, subgroup)
-    ck = (id(scene.tri_feats), scene.tri_feats.shape, Rp, TILE, G, spb,
-          passes, payload)
+    if passes == 1 and payload == "full" \
+            and _os.environ.get("RAYCORE_REGROUP_STAGE1",
+                                "compact") == "compact":
+        # A routed passes=1 query will take the sort-free compact driver
+        # (the measured default), which capacity-caches under its own
+        # "cm" key — warmth must be probed on the key the routed query
+        # will actually use, else dispatch would either miss a warm
+        # compact engine or route into a cold one.
+        ck = (id(scene.tri_feats), scene.tri_feats.shape, Rp, TILE, G,
+              spb, "cm")
+    else:
+        ck = (id(scene.tri_feats), scene.tri_feats.shape, Rp, TILE, G,
+              spb, passes, payload)
     return _cache_get(scene, ck) is not None
 
 
@@ -1454,6 +1469,7 @@ def _closest_hit_regrouped_cm(scene, rays, *, tile: int, subgroup: int,
         t_min, t_max = ext(t_min, 0.0), ext(t_max, -jnp.inf)
     n_tiles = o.shape[0] // TILE
     n_sub = o.shape[0] // G
+    SPT = TILE // G
     K = scene.n_clusters
     hard_p = n_tiles * K
     hard_q = n_sub * K
@@ -1467,12 +1483,19 @@ def _closest_hit_regrouped_cm(scene, rays, *, tile: int, subgroup: int,
                                   h)
         P_cap = bucket(cached["coarse"], hard_p)
         Q_cap = bucket(cached["q"], hard_q)
+    # The compacted pair list is drawn from the (P_cap, SPT) candidate
+    # matrix — a Q_cap beyond its size is shape-invalid (small scenes).
+    Q_cap = min(Q_cap, P_cap * SPT)
 
     reshape_out = lambda res: jax.tree_util.tree_map(
         lambda a: a.reshape(batch + a.shape[1:]), res)
     import numpy as _np
 
-    if cached is not None and combine == "grouped":
+    # Same fused-graph size gate as the sort driver: the one-dispatch
+    # executable's XLA compile is superlinear in K (tools/
+    # probe_4m_compile.py); above the threshold stay two-stage.
+    fuse_max_k = int(_os.environ.get("RAYCORE_FUSE_MAX_K", "16384"))
+    if cached is not None and combine == "grouped" and K <= fuse_max_k:
         B_cap = Q_cap // SPB + K + 1
         nb_pred = min(cached["nb"], B_cap)
         res, totals = _fused_query_cm(
@@ -1518,6 +1541,7 @@ def _closest_hit_regrouped_cm(scene, rays, *, tile: int, subgroup: int,
             P_cap = min(2 * P_cap, hard_p)
         if not ok_q:
             Q_cap = min(2 * Q_cap, hard_q)
+        Q_cap = min(Q_cap, P_cap * (TILE // G))
     nb = 1 << max(9, (max(total, 1) - 1).bit_length())
     nb = min(nb, block_cid.shape[0])
     prev = cached or dict(coarse=0, q=0, nb=0)
@@ -1569,10 +1593,13 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
     full query, so benchmarks can use it as the honest completion
     barrier instead of dispatching a separate probe.
 
-    stage1: "sort" (default; env RAYCORE_REGROUP_STAGE1 overrides) uses
-    the two-key grouping sort; "compact" (passes=1 only) compacts the
-    transposed phase-A matrix so blocks pack sort-free — same candidate
-    set, different block order.
+    stage1: "compact" (default for passes=1 since the round-5 device A/B
+    measured it 8.10 vs 7.59 Mrays/s at the 1M headline; env
+    RAYCORE_REGROUP_STAGE1 overrides) compacts the transposed phase-A
+    matrix so blocks pack sort-free; "sort" uses the two-key grouping
+    sort — same candidate set, different block order. passes>=2 and
+    non-full payloads always use "sort" (the compact driver implements
+    neither).
 
     payload: "full" (default) gathers the winning triangle and returns
     the exact (t, barycentric, triangle) payload; "slim" returns the
@@ -1590,7 +1617,7 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
         raise ValueError(f"payload must be 'full', 'slim' or 'occlusion',"
                          f" got {payload}")
     if stage1 is None:
-        stage1 = _os.environ.get("RAYCORE_REGROUP_STAGE1", "sort")
+        stage1 = _os.environ.get("RAYCORE_REGROUP_STAGE1", "compact")
     if stage1 not in ("sort", "compact"):
         raise ValueError(f"stage1 must be 'sort' or 'compact', got {stage1}")
     if stage1 == "compact" and passes == 1 and payload == "full":
@@ -1632,7 +1659,18 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
     reshape_out = lambda res: jax.tree_util.tree_map(
         lambda a: a.reshape(batch + a.shape[1:]), res)
 
+    # Fused-graph size gate: the one-dispatch warm executable's XLA
+    # compile scales SUPERLINEARLY with cluster count (measured CPU
+    # compile: _fused_query_pruned 55 s at K=8192 -> 350 s at K=32768
+    # while its two-stage pieces stay ~146 s — tools/probe_4m_compile.py;
+    # through the ~8x-slower remote compiler the fused 4M graph is the
+    # round-4 30-min-timebox blowup). Above the threshold the engine
+    # stays on the two-stage path: same results, one extra dispatch
+    # (~15% tunnel tax), compile cost bounded. Large scenes can instead
+    # build with cluster_size=512 to keep K at the fuse-friendly 8192.
+    fuse_max_k = int(_os.environ.get("RAYCORE_FUSE_MAX_K", "16384"))
     if cached is not None and combine == "grouped" \
+            and scene.n_clusters <= fuse_max_k \
             and not (passes > 1 and payload == "occlusion"):
         # Warm path: ONE dispatch with the predicted block grid; validate
         # the totals afterwards and fall back when the prediction missed.

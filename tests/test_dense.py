@@ -217,3 +217,18 @@ def test_prims_hot_is_int32():
     assert len(np.unique(real)) == n
     meta = np.asarray(scene.prims_hot[:, 9])
     assert meta[orig < n].max() >= 0
+
+
+def test_root_aabb_excludes_padding_sentinels():
+    """root_aabb must be the REAL scene bound: capacity padding lives at
+    PAD_COORD (1e30) and sorts into tail clusters, and an unmasked
+    reduce once reported root max = 1e30 — corrupting world_bound, the
+    prewarm ray grids, and the scene content fingerprint."""
+    mesh = rc.displaced_grid_mesh(n=100, extent=2.0, amplitude=0.35)
+    for C in (64, 128):
+        scene = build_dense(mesh, cluster_size=C)
+        root = np.asarray(scene.root_aabb)
+        v = np.asarray(mesh.vertices).reshape(-1, 3)
+        assert np.all(np.abs(root) < 1e6), root
+        np.testing.assert_allclose(root[0], v.min(0), atol=1e-5)
+        np.testing.assert_allclose(root[1], v.max(0), atol=1e-5)

@@ -137,6 +137,26 @@ def test_regroup_slim_payload(passes):
     assert cs is not None
 
 
+def test_fuse_gate_large_k(monkeypatch):
+    """Above RAYCORE_FUSE_MAX_K clusters the warm path must SKIP the
+    fused one-dispatch executable (its XLA compile is superlinear in K —
+    the 4M-tri 30-min-timebox blowup, tools/probe_4m_compile.py) and
+    stay on the exact two-stage path: results identical, checksum None
+    (the fused path's totals readback is the only checksum source)."""
+    scene, rays = _scene_and_rays(coherent=True)
+    ref = closest_hit_regrouped(scene, rays, passes=1)
+    monkeypatch.setenv("RAYCORE_FUSE_MAX_K", "1")
+    got, cs = closest_hit_regrouped(scene, rays, passes=1,
+                                    with_checksum=True)
+    assert cs is None
+    assert np.array_equal(np.asarray(ref.hit), np.asarray(got.hit))
+    assert np.array_equal(np.asarray(ref.prim_idx), np.asarray(got.prim_idx))
+    monkeypatch.delenv("RAYCORE_FUSE_MAX_K")
+    got2, cs2 = closest_hit_regrouped(scene, rays, passes=1,
+                                      with_checksum=True)
+    assert cs2 is not None    # gate lifted -> fused path again
+
+
 def test_capacity_hints_not_shared_across_scene_content(tmp_path,
                                                         monkeypatch):
     """Two scenes with IDENTICAL padded shapes but different geometry

@@ -63,6 +63,7 @@ def phase(name):
 def main():
     n_tris = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     n_rays = int(sys.argv[2]) if len(sys.argv) > 2 else 1_048_576
+    C = int(sys.argv[3]) if len(sys.argv) > 3 else 128
     import raycore_tpu as rc
     from raycore_tpu.accel.dense import build_dense
     from raycore_tpu.ops.pallas_regroup import closest_hit_regrouped
@@ -73,19 +74,20 @@ def main():
     d()
 
     d = phase("build_dense cold")
-    sc = build_dense(mesh, cluster_size=128)
+    sc = build_dense(mesh, cluster_size=C)
     float(sc.tri_feats[0, 0, 0])
     d()
 
     d = phase("build_dense warm")
-    sc2 = build_dense(mesh, cluster_size=128)
+    sc2 = build_dense(mesh, cluster_size=C)
     float(sc2.tri_feats[0, 0, 0])
     d()
+    print(f"K={sc.n_clusters} C={sc.cluster_size}")
 
     side = int(np.sqrt(n_rays))
     import jax.numpy as jnp
-    lo = np.asarray(sc.cluster_min).min(0)
-    hi = np.asarray(sc.cluster_max).max(0)
+    lo = np.asarray(sc.root_aabb[0])
+    hi = np.asarray(sc.root_aabb[1])
     xs = np.linspace(lo[0] + 1e-3, hi[0] - 1e-3, side, dtype=np.float32)
     o = np.stack(np.meshgrid(xs, xs, indexing="ij"), -1).reshape(-1, 2)
     o = np.concatenate([o, np.full((o.shape[0], 1), hi[2] + 1.0,
