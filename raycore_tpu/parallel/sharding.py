@@ -87,6 +87,12 @@ def _hitresult_specs(res_tree, axis=RAY_AXIS):
 # (same contract as the single-chip engines' caches).
 _DIST_CAPS: dict = {}
 
+# Compiled shard_map executables keyed by their static parameters: the
+# driver builds a fresh Python closure per call, which would otherwise
+# re-trace (and on remote-compiler backends re-compile) every query —
+# serving loops need the repeat query to be a cache hit.
+_DIST_FNS: dict = {}
+
 
 def _stage2_abs(scene, TILE, G, spb, P_cap, B_cap, interpret,
                 o, d, t_min, t_max):
@@ -160,34 +166,43 @@ def distributed_closest_hit_dense(scene, rays: Ray, mesh: Mesh, *,
     while True:
         B_cap = P_cap * SPT // spb + K + 1
 
-        def body(scene, o, d, t_min, t_max):
-            out = _stage1_core(scene, o, d, t_min, t_max, TILE, G, spb,
-                               P_cap, interpret)
-            block_cid, block_subs, tbl, total, coarse = out
-            res = _stage2_core(scene, block_cid, block_subs, tbl, o, d,
-                               G, spb, B_cap, interpret, "grouped",
-                               o.shape[0], None, None)
-            totals = jax.lax.pmax(jnp.stack([total, coarse]), RAY_AXIS)
-            return res, totals
+        fk = (TILE, G, spb, P_cap, B_cap, interpret, R_loc, mesh,
+              scene.tri_feats.shape, scene.cluster_size)
+        jfn = _DIST_FNS.get(fk)
+        if jfn is None:
+            def body(scene, o, d, t_min, t_max):
+                out = _stage1_core(scene, o, d, t_min, t_max, TILE, G,
+                                   spb, P_cap, interpret)
+                block_cid, block_subs, tbl, total, coarse = out
+                res = _stage2_core(scene, block_cid, block_subs, tbl, o,
+                                   d, G, spb, B_cap, interpret,
+                                   "grouped", o.shape[0], None, None)
+                totals = jax.lax.pmax(jnp.stack([total, coarse]),
+                                      RAY_AXIS)
+                return res, totals
 
-        # Output specs: HitResult leaves sharded on rays; totals
-        # replicated. Build the spec tree from an abstract eval of one
-        # local shard.
-        loc = lambda a: jax.ShapeDtypeStruct((R_loc,) + a.shape[1:],
-                                             a.dtype)
-        res_abs = jax.eval_shape(
-            partial(_stage2_abs, scene, TILE, G, spb, P_cap, B_cap,
-                    interpret),
-            loc(rays.o), loc(rays.d), loc(rays.t_min), loc(rays.t_max))
-        out_specs = (_hitresult_specs(res_abs), P())
+            # Output specs: HitResult leaves sharded on rays; totals
+            # replicated. Build the spec tree from an abstract eval of
+            # one local shard.
+            loc = lambda a: jax.ShapeDtypeStruct((R_loc,) + a.shape[1:],
+                                                 a.dtype)
+            res_abs = jax.eval_shape(
+                partial(_stage2_abs, scene, TILE, G, spb, P_cap, B_cap,
+                        interpret),
+                loc(rays.o), loc(rays.d), loc(rays.t_min),
+                loc(rays.t_max))
+            out_specs = (_hitresult_specs(res_abs), P())
 
-        fn = shard_map(
-            body, mesh=mesh,
-            in_specs=(P(), P(RAY_AXIS, None), P(RAY_AXIS, None),
-                      P(RAY_AXIS), P(RAY_AXIS)),
-            out_specs=out_specs, check_rep=False)
-        res, totals = jax.jit(fn)(scene_r, rays_s.o, d, rays_s.t_min,
-                                  rays_s.t_max)
+            jfn = jax.jit(shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P(RAY_AXIS, None), P(RAY_AXIS, None),
+                          P(RAY_AXIS), P(RAY_AXIS)),
+                out_specs=out_specs, check_rep=False))
+            if len(_DIST_FNS) > 64:
+                _DIST_FNS.pop(next(iter(_DIST_FNS)))
+            _DIST_FNS[fk] = jfn
+        res, totals = jfn(scene_r, rays_s.o, d, rays_s.t_min,
+                          rays_s.t_max)
         total_max, coarse_max = (int(x) for x in np.asarray(totals))
         if coarse_max <= P_cap:
             break
