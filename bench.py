@@ -304,6 +304,10 @@ def inner():
         SPB = int(os.environ.get("RAYCORE_BENCH_SPB", 16))
         combine = os.environ.get("RAYCORE_BENCH_COMBINE", "grouped")
         passes = int(os.environ.get("RAYCORE_BENCH_PASSES", 1))
+        # payload=slim skips the 160 B/ray triangle-payload gather
+        # (hit/t/prim/instance/metadata stay exact) — the analysis-
+        # pipeline (view_factors/AO) cost point.
+        payload = os.environ.get("RAYCORE_BENCH_PAYLOAD", "full")
         # with_checksum: the warm path's own totals readback carries a
         # strided sum of result.t — value-dependent on the whole query,
         # i.e. the same honest barrier the probe provides, minus one
@@ -311,10 +315,11 @@ def inner():
         run = lambda: closest_hit_regrouped(scene, rays, tile=tile,
                                             subgroup=G, spb=SPB,
                                             combine=combine, passes=passes,
+                                            payload=payload,
                                             with_checksum=True)
         run_deferred = lambda: closest_hit_regrouped(
             scene, rays, tile=tile, subgroup=G, spb=SPB, combine=combine,
-            passes=passes, deferred=True)
+            passes=passes, payload=payload, deferred=True)
     elif engine == "auto":
         # Product-default path: rc.closest_hit dispatches by scene form
         # and warm-capacity state (accel/dispatch.py). Prewarm once so
