@@ -31,7 +31,8 @@ def _tracing(x):
 REGROUP_MIN_RAYS = 1 << 19
 
 
-def _dense_query(scene, rays, tile_size, payload: str = "full"):
+def _dense_query(scene, rays, tile_size, payload: str = "full",
+                 deferred: bool = False):
     if _tracing(rays.o):
         # Inside someone's jit the auto-sized worklist's host sync cannot
         # run. The XLA rounds engine is the best all-rounder there: for
@@ -40,8 +41,9 @@ def _dense_query(scene, rays, tile_size, payload: str = "full"):
         # incoherent escaping rays should use the staged drivers that
         # call the auto-sized Pallas engine between jitted stages
         # (render/pathtracer.trace_paths_staged).
-        return closest_hit_dense(scene, rays,
-                                 tile=min(2048, max(tile_size, 8)))
+        res = closest_hit_dense(scene, rays,
+                                tile=min(2048, max(tile_size, 8)))
+        return (res, None) if deferred else res
     import os
     n_rays = 1
     for s in rays.batch_shape:
@@ -66,7 +68,8 @@ def _dense_query(scene, rays, tile_size, payload: str = "full"):
         # run it at cluster granularity — rc.prewarm(engine="packed")
         # is the opt-in that makes it this scene's default).
         if has_warm_capacity_packed(scene, n_rays):
-            return closest_hit_packed(scene, rays, tile=2048)
+            res = closest_hit_packed(scene, rays, tile=2048)
+            return (res, None) if deferred else res
         if scene.sub_chunks == 1:
             # passes="auto": depth-complex scenes take the ordered-wave
             # multiwave path (1.7-1.8x fewer swept candidates), single
@@ -79,19 +82,24 @@ def _dense_query(scene, rays, tile_size, payload: str = "full"):
             if opt_in or has_warm_capacity(scene, n_rays, passes="auto",
                                            payload=payload):
                 return closest_hit_regrouped(scene, rays, tile=2048,
-                                             passes="auto", payload=payload)
+                                             passes="auto", payload=payload,
+                                             deferred=deferred)
             if has_warm_capacity(scene, n_rays, passes=1, payload=payload):
                 return closest_hit_regrouped(scene, rays, tile=2048,
-                                             passes=1, payload=payload)
+                                             passes=1, payload=payload,
+                                             deferred=deferred)
         if scene.sub_chunks >= 2 and opt_in:
-            return closest_hit_packed(scene, rays, tile=2048)
+            res = closest_hit_packed(scene, rays, tile=2048)
+            return (res, None) if deferred else res
     from ..ops.pallas_dense import closest_hit_dense_pallas_auto
-    return closest_hit_dense_pallas_auto(scene, rays,
-                                         tile=min(512, max(tile_size, 8)))
+    res = closest_hit_dense_pallas_auto(scene, rays,
+                                        tile=min(512, max(tile_size, 8)))
+    return (res, None) if deferred else res
 
 
 def scene_closest_hit(scene, rays, *, tile_size: int = 16384,
-                      payload: str = "full", **trav_kw) -> HitResult:
+                      payload: str = "full", deferred: bool = False,
+                      **trav_kw) -> HitResult:
     """Generic closest-hit over any scene form — the package-level
     ``rc.closest_hit``. Dispatches by scene type the way the reference's
     multiple dispatch does over `AbstractAccel` (src/Raycore.jl:23-47):
@@ -103,11 +111,24 @@ def scene_closest_hit(scene, rays, *, tile_size: int = 16384,
     never reads triangle/barycentric: the regrouped engine then skips
     the per-ray payload gather + exact recompute (hit/t/prim/instance/
     metadata stay exact). Engines without a slim mode ignore the hint
-    and return the full payload — slim consumers are unaffected."""
+    and return the full payload — slim consumers are unaffected.
+
+    deferred=True (host-pipelined drivers): ALWAYS returns
+    ``(result, finalizer_or_None)``. When the query ran on a warm fused
+    regroup path the result is UNSYNCED and the finalizer must be called
+    later — it blocks on the query's capacity totals and returns a
+    checksum, or None when a capacity prediction missed (the result is
+    then garbage and the query/frame must be re-issued non-deferred).
+    Every other engine runs its normal synchronous path and hands back
+    ``(result, None)`` — already valid. This is how the staged renderers
+    chain a whole frame's queries into back-to-back device dispatches
+    with ONE host sync at the end (docs/performance.md: chained
+    dispatch measures 1.1-1.4x over per-query syncs)."""
     if isinstance(scene, DenseScene):
         if trav_kw:
             raise TypeError(f"dense-engine queries do not accept {trav_kw}")
-        return _dense_query(scene, rays, tile_size, payload=payload)
+        return _dense_query(scene, rays, tile_size, payload=payload,
+                            deferred=deferred)
     from ..scene.instanced import DenseInstancedScene
     if isinstance(scene, DenseInstancedScene):
         if _tracing(rays.o):
@@ -121,12 +142,14 @@ def scene_closest_hit(scene, rays, *, tile_size: int = 16384,
         if trav_kw:
             raise TypeError(f"instanced queries do not accept {trav_kw}")
         from ..ops.pallas_instanced import closest_hit_instanced
-        return closest_hit_instanced(scene, rays)
-    return _trav.closest_hit(scene, rays, tile_size=tile_size, **trav_kw)
+        res = closest_hit_instanced(scene, rays)
+        return (res, None) if deferred else res
+    res = _trav.closest_hit(scene, rays, tile_size=tile_size, **trav_kw)
+    return (res, None) if deferred else res
 
 
 def scene_any_hit(scene, rays, *, tile_size: int = 16384,
-                  **trav_kw) -> HitResult:
+                  deferred: bool = False, **trav_kw) -> HitResult:
     if isinstance(scene, DenseScene):
         import jax.numpy as jnp
         if trav_kw:
@@ -146,23 +169,27 @@ def scene_any_hit(scene, rays, *, tile_size: int = 16384,
                                         "0") == "1"
                 if opt_in or has_warm_capacity(scene, n_rays,
                                                occlusion=True):
-                    return any_hit_regrouped(scene, rays, tile=2048)
+                    return any_hit_regrouped(scene, rays, tile=2048,
+                                             deferred=deferred)
             # Dedicated occlusion kernel: first accepted hit wins, no
             # best-t carry / merge / payload gather (reference any_hit
             # early-exit, src/instanced-bvh.jl:2034-2140). Only hit +
             # occluder ids are populated — the occlusion contract.
             from ..ops.pallas_dense import any_hit_dense_pallas_auto
-            return any_hit_dense_pallas_auto(
+            res = any_hit_dense_pallas_auto(
                 scene, rays, tile=min(512, max(tile_size, 8)))
+            return (res, None) if deferred else res
         rays0 = rays.replace(t_min=jnp.zeros_like(rays.t_min))
-        return _dense_query(scene, rays0, tile_size)
+        return _dense_query(scene, rays0, tile_size, deferred=deferred)
     from ..scene.instanced import DenseInstancedScene
     if isinstance(scene, DenseInstancedScene):
         if trav_kw:
             raise TypeError(f"instanced queries do not accept {trav_kw}")
         from ..ops.pallas_instanced import any_hit_instanced
-        return any_hit_instanced(scene, rays)
-    return _trav.any_hit(scene, rays, tile_size=tile_size, **trav_kw)
+        res = any_hit_instanced(scene, rays)
+        return (res, None) if deferred else res
+    res = _trav.any_hit(scene, rays, tile_size=tile_size, **trav_kw)
+    return (res, None) if deferred else res
 
 
 def scene_root_aabb(scene):

@@ -256,50 +256,89 @@ def _pt_shade_and_sample(hit, res_hit, p, n, base, mi, wi, dist, occ_hit,
 
 def trace_paths_staged(scene, materials: Materials, lights: PointLights,
                        cam: Camera, key, cfg: PTConfig,
-                       pool: TexturePool = None, tex_refs=None):
+                       pool: TexturePool = None, tex_refs=None,
+                       pipelined: bool = False):
     """Host-orchestrated N-bounce path trace: jitted shading stages with
     engine queries BETWEEN them, so DenseScene queries use the auto-sized
     Pallas worklists (exact per-tile work — no global-round amplification
     from escaping diffuse rays). Matches trace_paths bit-for-bit on the
-    same key when both use the same engine."""
+    same key when both use the same engine.
+
+    pipelined=True chains the whole frame's 2B queries through the
+    deferred dispatch mode: every closest/occlusion query on a warm
+    fused regroup path skips its per-query capacity host sync (the
+    dependency between bounces is device-side — the next bounce's rays
+    are functions of device arrays, never of host values), so the frame
+    runs as back-to-back device dispatches with ONE validation sync at
+    the end. If any capacity prediction missed, that query's output was
+    truncated garbage, so the frame is discarded and re-run in the
+    per-query sync mode (which also grows the sticky-max capacities, so
+    misses do not repeat). Prewarm the scene first (rc.prewarm) —
+    unwarmed engines run synchronously and the pipeline degrades to the
+    plain staged driver."""
     H, W, spp, B = cfg.height, cfg.width, cfg.spp, cfg.bounces
     R = H * W * spp
     bg = jnp.asarray(cfg.background, jnp.float32)
     n_lights = lights.position.shape[0]
 
-    key, kp = jax.random.split(key)
-    rays = generate_primary_rays(cam, W, H, spp, kp)
-    o, d = rays.o, rays.d
-    throughput = jnp.ones((R, 3), jnp.float32)
-    radiance = jnp.zeros((R, 3), jnp.float32)
-    alive = jnp.ones((R,), bool)
-    order_acc = jnp.arange(R)
+    def frame(deferred: bool):
+        fin = []
+        fkey, kp = jax.random.split(key)
+        rays = generate_primary_rays(cam, W, H, spp, kp)
+        o, d = rays.o, rays.d
+        throughput = jnp.ones((R, 3), jnp.float32)
+        radiance = jnp.zeros((R, 3), jnp.float32)
+        alive = jnp.ones((R,), bool)
+        order_acc = jnp.arange(R)
+        fkey_loop = fkey
 
-    for bounce in range(B):
-        key, k_l, k_b, k_r = jax.random.split(key, 4)
-        perm = order_acc
-        u_l = jax.random.randint(k_l, (R,), 0, n_lights)[perm]
-        u_b = jax.random.uniform(k_b, (R, 3))[perm]
-        u_r = jax.random.normal(k_r, (R, 3))[perm]
+        for bounce in range(B):
+            fkey_loop, k_l, k_b, k_r = jax.random.split(fkey_loop, 4)
+            perm = order_acc
+            u_l = jax.random.randint(k_l, (R,), 0, n_lights)[perm]
+            u_b = jax.random.uniform(k_b, (R, 3))[perm]
+            u_r = jax.random.normal(k_r, (R, 3))[perm]
 
-        res = _disp.scene_closest_hit(
-            scene, Ray.create(o=o, d=d,
-                              t_max=jnp.where(alive, jnp.inf, -1.0)),
-            tile_size=cfg.tile_size)
-        hit, p, n, base, mi, wi, dist, so, st = _pt_prep_nee(
-            res.hit, res.barycentric, res.triangle.vertices,
-            res.triangle.normals, res.triangle.uv, res.triangle.metadata,
-            d, alive, materials, lights, u_l, cfg.eps, pool, tex_refs)
-        occ = _disp.scene_any_hit(scene, Ray.create(o=so, d=wi, t_max=st),
-                                  tile_size=cfg.tile_size)
-        o, d, throughput, radiance, alive, order_acc = _pt_shade_and_sample(
-            hit, res.hit, p, n, base, mi, wi, dist, occ.hit,
-            o, d, throughput, radiance, alive, order_acc,
-            materials, lights, u_l, u_b, u_r,
-            jnp.asarray(scene.root_aabb), bg, cfg.eps,
-            n_lights=n_lights, last=(bounce == B - 1))
+            res = _disp.scene_closest_hit(
+                scene, Ray.create(o=o, d=d,
+                                  t_max=jnp.where(alive, jnp.inf, -1.0)),
+                tile_size=cfg.tile_size, deferred=deferred)
+            if deferred:
+                res, f = res
+                fin.append(f)
+            hit, p, n, base, mi, wi, dist, so, st = _pt_prep_nee(
+                res.hit, res.barycentric, res.triangle.vertices,
+                res.triangle.normals, res.triangle.uv, res.triangle.metadata,
+                d, alive, materials, lights, u_l, cfg.eps, pool, tex_refs)
+            occ = _disp.scene_any_hit(scene,
+                                      Ray.create(o=so, d=wi, t_max=st),
+                                      tile_size=cfg.tile_size,
+                                      deferred=deferred)
+            if deferred:
+                occ, f = occ
+                fin.append(f)
+            o, d, throughput, radiance, alive, order_acc = \
+                _pt_shade_and_sample(
+                    hit, res.hit, p, n, base, mi, wi, dist, occ.hit,
+                    o, d, throughput, radiance, alive, order_acc,
+                    materials, lights, u_l, u_b, u_r,
+                    jnp.asarray(scene.root_aabb), bg, cfg.eps,
+                    n_lights=n_lights, last=(bounce == B - 1))
 
-    inv = jnp.argsort(order_acc)
-    radiance = radiance[inv]
-    img = radiance.reshape(H, W, spp, 3).mean(axis=2)
-    return jnp.clip(img, 0.0, 1.0)
+        inv = jnp.argsort(order_acc)
+        radiance = radiance[inv]
+        img = radiance.reshape(H, W, spp, 3).mean(axis=2)
+        return jnp.clip(img, 0.0, 1.0), fin
+
+    if pipelined:
+        img, fin = frame(deferred=True)
+        # One sync for the whole frame: each finalizer blocks on its
+        # query's totals (the device has long since moved on) and
+        # reports whether the capacity prediction held.
+        if all(f() is not None for f in fin if f is not None):
+            return img
+        # A prediction missed -> the unsynced frame is garbage. Re-run
+        # per-query; the sync path auto-sizes and sticky-maxes the
+        # missed capacities, so the next pipelined frame stays valid.
+    img, _ = frame(deferred=False)
+    return img

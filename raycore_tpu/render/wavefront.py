@@ -272,25 +272,54 @@ _jit_blend = jax.jit(_blend_core, static_argnames=("cfg",))
 
 
 def render_staged(scene, materials: Materials, lights: PointLights,
-                  cam: Camera, key, cfg: RenderConfig):
+                  cam: Camera, key, cfg: RenderConfig,
+                  pipelined: bool = False):
     """Same frame as render_step, but the three traversal queries run
     BETWEEN jitted glue stages, so dispatch routes them to the fastest
     engine available for the scene form (Pallas worklist / regrouped
     sweep for DenseScene — those auto-size with a host sync and cannot
-    run under tracing). Bitwise-identical math to render_step."""
+    run under tracing). Bitwise-identical math to render_step.
+
+    pipelined=True chains the frame's three queries through the
+    deferred dispatch mode (one capacity-validation sync at frame end
+    instead of one per query; the inter-query dependencies are
+    device-side). A missed capacity prediction discards the frame and
+    re-runs it per-query, which grows the sticky-max capacities so the
+    miss does not repeat. Prewarm the scene (rc.prewarm) first —
+    unwarmed engines just run synchronously."""
     W, H, spp = cfg.width, cfg.height, cfg.spp
-    rays = _jit_primary(cam, key, W, H, spp)
-    res = _disp.scene_closest_hit(scene, rays, tile_size=cfg.tile_size)
-    s = _jit_shadow_setup(rays, res, materials, lights, cfg)
-    occl = _disp.scene_any_hit(
-        scene, Ray.create(o=s["so"], d=s["sd"], t_max=s["st"]),
-        tile_size=cfg.tile_size)
-    s2 = _jit_shade_reflect(rays, occl.hit, s, key, lights, cfg)
-    rres = _disp.scene_closest_hit(
-        scene, Ray.create(o=s2["ro_c"], d=s2["rd_c"],
-                          t_max=jnp.where(s2["act_c"], jnp.inf, -1.0)),
-        tile_size=cfg.tile_size)
-    return _jit_blend(rres, s2, materials, lights, cfg)
+
+    def frame(deferred: bool):
+        fin = []
+        rays = _jit_primary(cam, key, W, H, spp)
+        res = _disp.scene_closest_hit(scene, rays, tile_size=cfg.tile_size,
+                                      deferred=deferred)
+        if deferred:
+            res, f = res
+            fin.append(f)
+        s = _jit_shadow_setup(rays, res, materials, lights, cfg)
+        occl = _disp.scene_any_hit(
+            scene, Ray.create(o=s["so"], d=s["sd"], t_max=s["st"]),
+            tile_size=cfg.tile_size, deferred=deferred)
+        if deferred:
+            occl, f = occl
+            fin.append(f)
+        s2 = _jit_shade_reflect(rays, occl.hit, s, key, lights, cfg)
+        rres = _disp.scene_closest_hit(
+            scene, Ray.create(o=s2["ro_c"], d=s2["rd_c"],
+                              t_max=jnp.where(s2["act_c"], jnp.inf, -1.0)),
+            tile_size=cfg.tile_size, deferred=deferred)
+        if deferred:
+            rres, f = rres
+            fin.append(f)
+        return _jit_blend(rres, s2, materials, lights, cfg), fin
+
+    if pipelined:
+        img, fin = frame(deferred=True)
+        if all(f() is not None for f in fin if f is not None):
+            return img
+    img, _ = frame(deferred=False)
+    return img
 
 
 class WavefrontRenderer:
@@ -301,22 +330,28 @@ class WavefrontRenderer:
     staged=True (default) runs the three traversal queries between
     jitted glue stages so each query gets the fastest engine for the
     scene form; staged=False compiles the whole frame as one jit
-    (embed it in a larger jitted loop, donate buffers, etc.)."""
+    (embed it in a larger jitted loop, donate buffers, etc.).
+    pipelined=True (staged only) chains the frame's queries with one
+    capacity sync at frame end (see render_staged)."""
 
     def __init__(self, scene: StaticTLAS, materials: Materials,
                  lights: PointLights, camera: Camera,
                  config: Optional[RenderConfig] = None,
-                 staged: bool = True):
+                 staged: bool = True, pipelined: bool = False):
         self.scene = scene
         self.materials = materials
         self.lights = lights
         self.camera = camera
         self.config = config or RenderConfig()
         self.staged = staged
+        self.pipelined = pipelined
 
     def render(self, key=None) -> jnp.ndarray:
         if key is None:
             key = jax.random.PRNGKey(0)
-        fn = render_staged if self.staged else render_step
-        return fn(self.scene, self.materials, self.lights,
-                  self.camera, key, self.config)
+        if self.staged:
+            return render_staged(self.scene, self.materials, self.lights,
+                                 self.camera, key, self.config,
+                                 pipelined=self.pipelined)
+        return render_step(self.scene, self.materials, self.lights,
+                           self.camera, key, self.config)

@@ -235,6 +235,21 @@ def test_wavefront_staged_matches_single_jit():
     np.testing.assert_allclose(a, b, atol=3e-5)
 
 
+def test_wavefront_staged_pipelined_matches():
+    """pipelined=True (deferred whole-frame query chain, one validation
+    sync at frame end) must be bit-identical to the per-query staged
+    frame: deferral removes host syncs, never changes the math."""
+    from raycore_tpu.render.wavefront import render_staged
+    scene, materials, lights, camera = example_scene()
+    cfg = RenderConfig(width=48, height=32, spp=1, tile_size=1024)
+    key = jax.random.PRNGKey(3)
+    a = np.asarray(render_staged(scene, materials, lights, camera, key,
+                                 cfg))
+    b = np.asarray(render_staged(scene, materials, lights, camera, key,
+                                 cfg, pipelined=True))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_dispatch_routes_warm_regroup(monkeypatch):
     """VERDICT r2 item 4: once the regrouped engine is warm for a
     (scene, shape) — via rc.prewarm or a previous direct query —

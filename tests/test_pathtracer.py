@@ -94,6 +94,51 @@ def test_staged_matches_jitted(room):
 
 
 @pytest.mark.slow
+def test_staged_pipelined_matches(room):
+    """pipelined=True (deferred whole-frame dispatch) is bit-identical
+    to the per-query staged driver: the deferral only removes host
+    syncs, never changes what is computed. On engines without a
+    deferred mode the queries degrade to their normal sync path."""
+    from raycore_tpu.render.pathtracer import trace_paths_staged
+    scene, mats, lights, cam = room
+    cfg = PTConfig(width=32, height=24, spp=1, bounces=3, tile_size=256)
+    a = np.asarray(trace_paths_staged(scene, mats, lights, cam,
+                                      jax.random.PRNGKey(7), cfg))
+    b = np.asarray(trace_paths_staged(scene, mats, lights, cam,
+                                      jax.random.PRNGKey(7), cfg,
+                                      pipelined=True))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_staged_pipelined_dense_regroup(monkeypatch):
+    """Pipelined frames through the REAL deferred regroup route: opt the
+    dispatch into the regrouped engine at test size, render one frame
+    per-query (warms capacities + fused graphs), then a pipelined frame
+    — every warm query must defer (finalizers validate at frame end)
+    and the image must match the per-query frame bit-for-bit."""
+    from raycore_tpu.render.pathtracer import trace_paths_staged
+    from raycore_tpu.accel.dense import build_dense
+    from raycore_tpu.accel import dispatch as _disp
+    from raycore_tpu.render.wavefront import Materials, PointLights, Camera
+    monkeypatch.setattr(_disp, "REGROUP_MIN_RAYS", 256)
+    monkeypatch.setenv("RAYCORE_DISPATCH_REGROUP", "1")
+    tris = rc.displaced_grid_mesh(n=24)
+    ds = build_dense(tris, cluster_size=64)
+    mats = Materials.create(base_color=np.full((2000, 3), 0.6, np.float32))
+    lights = PointLights(position=jnp.asarray([[0.0, 0, 5.0]]),
+                         intensity=jnp.asarray([[20.0, 20, 20]]))
+    cam = Camera.create(position=(0, -3, 2.5), target=(0, 0, 0))
+    cfg = PTConfig(width=32, height=16, spp=1, bounces=2, tile_size=256)
+    a = np.asarray(trace_paths_staged(ds, mats, lights, cam,
+                                      jax.random.PRNGKey(3), cfg))
+    b = np.asarray(trace_paths_staged(ds, mats, lights, cam,
+                                      jax.random.PRNGKey(3), cfg,
+                                      pipelined=True))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
 def test_staged_dense_scene():
     from raycore_tpu.render.pathtracer import trace_paths_staged
     from raycore_tpu.accel.dense import build_dense

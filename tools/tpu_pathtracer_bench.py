@@ -74,9 +74,10 @@ def main():
     print(f"prewarm({R} rays): {warm_s:.1f} s "
           f"(total {time.time() - t0:.1f} s)", flush=True)
 
-    def frame(i):
+    def frame(i, pipelined=False):
         img = trace_paths_staged(scene, mats, lights, cam,
-                                 jax.random.PRNGKey(i), cfg)
+                                 jax.random.PRNGKey(i), cfg,
+                                 pipelined=pipelined)
         # Value-dependent readback = honest completion barrier.
         return float(jnp.sum(img[::7, ::7].astype(jnp.float32))), img
 
@@ -97,6 +98,24 @@ def main():
     arr = np.asarray(img)
     assert arr.std() > 0.01 and 0.0 <= arr.min() and arr.max() <= 1.0
     print("image sanity ok")
+
+    # Pipelined A/B: same frames through the deferred whole-frame query
+    # chain (one capacity sync per frame instead of one per query).
+    pip = []
+    for i in range(1, 4 if not smoke else 2):
+        t0 = time.time()
+        s_p, img_p = frame(i, pipelined=True)
+        pip.append(time.time() - t0)
+        print(f"pipelined frame {i}: {pip[-1]:.2f} s "
+              f"(checksum {s_p:.3f})", flush=True)
+    best_p = min(pip)
+    print(f"best pipelined: {best_p:.2f} s  "
+          f"(~{rays / best_p / 1e6:.2f} Mrays/s; "
+          f"{best / best_p:.2f}x vs per-query sync)", flush=True)
+    arr_p = np.asarray(img_p)
+    assert np.array_equal(arr_p, np.asarray(img)), \
+        "pipelined frame must be bit-identical to the synced frame"
+    print("pipelined image identical ok")
 
 
 if __name__ == "__main__":
