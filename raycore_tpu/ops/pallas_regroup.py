@@ -1098,7 +1098,7 @@ def _stage1(scene, o, d, t_min, t_max, *, TILE: int, G: int, SPB: int,
 
 
 def _stage1_cm_core(scene, o, d, t_min, t_max, TILE, G, SPB, P_cap, Q_cap,
-                    interpret):
+                    interpret, waves: int = 0):
     """SORT-FREE stage1: compact the TRANSPOSED phase-A entry matrix so
     the coarse worklist comes out cluster-major for free; the subgroup
     expansion preserves that order, so after one compaction the blocks
@@ -1107,7 +1107,21 @@ def _stage1_cm_core(scene, o, d, t_min, t_max, TILE, G, SPB, P_cap, Q_cap,
     stage1 term, docs/performance.md) with O(N) compaction + an O(Q_cap)
     pack. Candidate SET is identical to _stage1_core; only the block
     order differs (by cluster id instead of sort order), which the
-    per-ray merge is insensitive to."""
+    per-ray merge is insensitive to.
+
+    waves=W>0 is the ordered-multiwave (passes=W+1) variant on this
+    driver: each subgroup's W nearest candidate clusters (by the refined
+    conservative entry) are swept in one statically-bounded grid, then
+    the remaining compacted pairs are pruned against the per-subgroup
+    best-t bound — the same exactness argument as _stage1_pruned_core.
+    Two structural wins over the sort-path multiwave: (a) the W-round
+    nearest selection runs on the COMPACTED (Q_cap,) pair list instead
+    of the (P_cap, SPT) candidate matrix (~50x fewer elements per
+    segment reduction), and (b) the remainder needs no grouping sort —
+    pruning only DROPS elements from the cluster-major list, so a second
+    order-preserving compaction + rank pack rebuilds the blocks.
+    Returns (block_cid, block_subs, tbl, totals, k1, p1); k1/p1 are the
+    wave sweep's per-ray merge inputs (None when waves=0)."""
     from .pallas_dense import compact_indices
     K = scene.n_clusters
     SPT = TILE // G
@@ -1136,34 +1150,93 @@ def _stage1_cm_core(scene, o, d, t_min, t_max, TILE, G, SPB, P_cap, Q_cap,
     sub_q = jnp.where(qvalid, jnp.take(sub, sel), n_sub)
     cid_q = jnp.where(qvalid, jnp.take(cid, sel), K)
     B_cap = Q_cap // SPB + K + 1
-    block_cid, block_subs, total = pack_presorted_cluster_major(
-        cid_q, sub_q, qvalid, SPB=SPB, n_sub=n_sub, B_cap=B_cap, K=K)
     tbl = ray_table(o, d, t_min, t_max, G)
+
+    if waves == 0:
+        block_cid, block_subs, total = pack_presorted_cluster_major(
+            cid_q, sub_q, qvalid, SPB=SPB, n_sub=n_sub, B_cap=B_cap, K=K)
+        totals = jnp.stack([coarse_total, q_total, total])
+        return block_cid, block_subs, tbl, totals, None, None
+
+    # --- ordered waves on the compacted pair list ---
+    entry_q = jnp.where(qvalid, jnp.take(fine.reshape(-1), sel), jnp.inf)
+    BIG = jnp.float32(3e38)
+    chosen_all = []
+    ent_w = entry_q
+    for _ in range(waves):
+        e = jnp.where(jnp.isfinite(ent_w), ent_w, BIG)
+        emin = jax.ops.segment_min(e, sub_q, num_segments=n_sub + 1)
+        tied = jnp.isfinite(ent_w) & (e == jnp.take(emin, sub_q))
+        csel = jax.ops.segment_min(jnp.where(tied, cid_q, K), sub_q,
+                                   num_segments=n_sub + 1)
+        chosen = csel[:n_sub]
+        chosen_all.append(chosen)
+        ch_full = jnp.concatenate([chosen, jnp.full((1,), K, jnp.int32)])
+        ent_w = jnp.where(cid_q == jnp.take(ch_full, sub_q), jnp.inf,
+                          ent_w)
+
+    chf = jnp.stack(chosen_all, axis=1).reshape(-1)   # (n_sub * W,)
+    subrep = jnp.repeat(jnp.arange(n_sub, dtype=jnp.int32), waves)
+    B1 = n_sub * waves // SPB + K + 1
+    bc1, bs1, _tot1 = group_flat_cluster_major(
+        subrep, jnp.minimum(chf, K - 1), chf < K,
+        SPB=SPB, n_sub=n_sub, B_cap=B1, K=K)
+    k1r, p1r = run_regrouped(bs1, bc1, tbl, scene.tri_feats, G=G, SPB=SPB,
+                             C=scene.cluster_size, n_blocks=B1,
+                             interpret=interpret,
+                             tbl_mode=_tbl_mode_default(),
+                             unroll=_unroll_default())
+    k1, p1 = combine_rows_grouped(k1r, p1r, bs1, B1, G, SPB, n_sub)
+
+    t1 = jnp.where(k1 == INT32_MAX, jnp.inf, _t_from_keys(k1, 0))
+    from .pallas_dense import _MM_MODE
+    if _MM_MODE:
+        # Relaxed winner-selection precision: prune against an EXACT
+        # upper bound recomputed from the wave winners (see
+        # _stage1_pruned_core for the soundness argument).
+        t1 = _exact_wave_ub_t(scene, p1, o, d, t_min, t_max)
+    ub = jnp.max(t1.reshape(n_sub, G), axis=1)        # (n_sub,)
+    ub_full = jnp.concatenate([ub, jnp.zeros((1,), ub.dtype)])
+    # ent_w already carries inf at every swept (subgroup, cluster), so
+    # the threshold alone excludes the wave set from the remainder; the
+    # prune only DROPS entries, so cluster-major order is preserved and
+    # an order-preserving compaction + rank pack rebuilds the blocks.
+    keep = qvalid & (ent_w <= jnp.take(ub_full, sub_q))
+    sel2, r_total = compact_indices(keep, Q_cap)
+    rvalid = jnp.arange(Q_cap) < r_total
+    sub_r = jnp.where(rvalid, jnp.take(sub_q, sel2), n_sub)
+    cid_r = jnp.where(rvalid, jnp.take(cid_q, sel2), K)
+    block_cid, block_subs, total = pack_presorted_cluster_major(
+        cid_r, sub_r, rvalid, SPB=SPB, n_sub=n_sub, B_cap=B_cap, K=K)
     totals = jnp.stack([coarse_total, q_total, total])
-    return block_cid, block_subs, tbl, totals
+    return block_cid, block_subs, tbl, totals, k1, p1
 
 
 @partial(jax.jit, static_argnames=("TILE", "G", "SPB", "P_cap", "Q_cap",
-                                   "interpret"))
+                                   "interpret", "waves"))
 def _stage1_cm(scene, o, d, t_min, t_max, *, TILE: int, G: int, SPB: int,
-               P_cap: int, Q_cap: int, interpret: bool):
+               P_cap: int, Q_cap: int, interpret: bool, waves: int = 0):
     return _stage1_cm_core(scene, o, d, t_min, t_max, TILE, G, SPB,
-                           P_cap, Q_cap, interpret)
+                           P_cap, Q_cap, interpret, waves)
 
 
 @partial(jax.jit, static_argnames=("TILE", "G", "SPB", "P_cap", "Q_cap",
-                                   "nb", "interpret", "combine", "R0"))
+                                   "nb", "interpret", "combine", "R0",
+                                   "waves"))
 def _fused_query_cm(scene, o, d, t_min, t_max, *, TILE: int, G: int,
                     SPB: int, P_cap: int, Q_cap: int, nb: int,
-                    interpret: bool, combine: str, R0: int):
+                    interpret: bool, combine: str, R0: int,
+                    waves: int = 0):
     """One-dispatch warm path for the sort-free stage1 (same predict-
     then-validate contract as _fused_query; totals carry coarse, q,
-    blocks + a result checksum)."""
-    block_cid, block_subs, tbl, totals = _stage1_cm_core(
-        scene, o, d, t_min, t_max, TILE, G, SPB, P_cap, Q_cap, interpret)
+    blocks + a result checksum). waves>0 adds the ordered-wave sweep
+    whose per-ray results merge into stage2."""
+    block_cid, block_subs, tbl, totals, k1, p1 = _stage1_cm_core(
+        scene, o, d, t_min, t_max, TILE, G, SPB, P_cap, Q_cap, interpret,
+        waves)
     res = _stage2_core(scene, block_cid, block_subs, tbl, o[:R0], d[:R0],
                        G, SPB, nb, interpret, combine, o.shape[0],
-                       None, None)
+                       k1, p1)
     csum = jnp.sum(res.t[::257], dtype=jnp.float32)
     return res, jnp.concatenate(
         [totals, jax.lax.bitcast_convert_type(csum, jnp.int32)[None]])
@@ -1363,16 +1436,19 @@ def has_warm_capacity(scene, n_rays: int, *, tile: int = 2048,
     if occlusion:
         payload = "occlusion"
     G, TILE, Rp = _shape_params(n_rays, tile, subgroup)
-    if passes == 1 and payload == "full" \
+    if payload == "full" \
             and _os.environ.get("RAYCORE_REGROUP_STAGE1",
                                 "compact") == "compact":
-        # A routed passes=1 query will take the sort-free compact driver
-        # (the measured default), which capacity-caches under its own
-        # "cm" key — warmth must be probed on the key the routed query
-        # will actually use, else dispatch would either miss a warm
-        # compact engine or route into a cold one.
+        # A routed full-payload query will take the sort-free compact
+        # driver (the measured default), which capacity-caches under its
+        # own "cm" key — warmth must be probed on the key the routed
+        # query will actually use, else dispatch would either miss a
+        # warm compact engine or route into a cold one. passes=1 keeps
+        # the original key shape; multiwave adds the passes field.
         ck = (id(scene.tri_feats), scene.tri_feats.shape, Rp, TILE, G,
-              spb, "cm")
+              spb, "cm") if passes == 1 else \
+             (id(scene.tri_feats), scene.tri_feats.shape, Rp, TILE, G,
+              spb, "cm", passes)
     else:
         ck = (id(scene.tri_feats), scene.tri_feats.shape, Rp, TILE, G,
               spb, passes, payload)
@@ -1445,11 +1521,15 @@ def prewarm(scene, n_rays: int, *, engine: str = "auto", tile: int = 2048,
 
 def _closest_hit_regrouped_cm(scene, rays, *, tile: int, subgroup: int,
                               spb: int, pairs_per_tile: int, combine: str,
-                              with_checksum: bool, deferred: bool = False):
+                              with_checksum: bool, deferred: bool = False,
+                              passes: int = 1):
     """Sort-free stage1 driver (stage1="compact"): same auto-sizing
     contract as closest_hit_regrouped with one extra capacity (Q_cap,
     the compacted subgroup-pair list) validated from the same packed
-    totals readback."""
+    totals readback. passes=N>=2 runs the ordered multiwave on this
+    driver (waves selected on the compacted pair list — see
+    _stage1_cm_core)."""
+    waves = passes - 1
     interpret = jax.default_backend() != "tpu"
     batch = rays.batch_shape
     flat = lambda a: a.reshape((-1,) + a.shape[len(batch):])
@@ -1475,8 +1555,13 @@ def _closest_hit_regrouped_cm(scene, rays, *, tile: int, subgroup: int,
     hard_q = n_sub * K
     P_cap = min(pairs_per_tile * n_tiles, hard_p)
     Q_cap = min(max(4096, 8 * n_sub), hard_q)
+    # passes=1 keeps the original "cm" key (persisted hints stay valid);
+    # multiwave capacities live under their own key — the remainder
+    # block count differs from the unpruned one.
     ck = (id(scene.tri_feats), scene.tri_feats.shape, o.shape[0], TILE, G,
-          SPB, "cm")
+          SPB, "cm") if passes == 1 else \
+         (id(scene.tri_feats), scene.tri_feats.shape, o.shape[0], TILE, G,
+          SPB, "cm", passes)
     cached = _cache_get(scene, ck)
     if cached is not None:
         bucket = lambda w, h: min(max(4096, -(-int(w * 1.2) // 4096) * 4096),
@@ -1501,7 +1586,7 @@ def _closest_hit_regrouped_cm(scene, rays, *, tile: int, subgroup: int,
         res, totals = _fused_query_cm(
             scene, o, d, t_min, t_max, TILE=TILE, G=G, SPB=SPB,
             P_cap=P_cap, Q_cap=Q_cap, nb=nb_pred, interpret=interpret,
-            combine=combine, R0=R0)
+            combine=combine, R0=R0, waves=waves)
         if deferred:
             def _finalize(res=res, totals=totals, ck=ck, P_cap=P_cap,
                           Q_cap=Q_cap, nb_pred=nb_pred, cached=cached):
@@ -1526,9 +1611,9 @@ def _closest_hit_regrouped_cm(scene, rays, *, tile: int, subgroup: int,
             return reshape_out(res)
 
     while True:
-        block_cid, block_subs, tbl, totals = _stage1_cm(
+        block_cid, block_subs, tbl, totals, k1, p1 = _stage1_cm(
             scene, o, d, t_min, t_max, TILE=TILE, G=G, SPB=SPB,
-            P_cap=P_cap, Q_cap=Q_cap, interpret=interpret)
+            P_cap=P_cap, Q_cap=Q_cap, interpret=interpret, waves=waves)
         coarse, q_total, total = (int(x) for x in _np.asarray(totals))
         ok_p, ok_q = coarse <= P_cap, q_total <= Q_cap
         if ok_p and ok_q:
@@ -1549,7 +1634,7 @@ def _closest_hit_regrouped_cm(scene, rays, *, tile: int, subgroup: int,
                   max(prev["q"], q_total), max(prev["nb"], nb))
     res = _stage2(scene, block_cid, block_subs, tbl, o[:R0], d[:R0],
                   G=G, SPB=SPB, n_blocks=nb, interpret=interpret,
-                  combine=combine, R_pad=o.shape[0], k1=None, p1=None)
+                  combine=combine, R_pad=o.shape[0], k1=k1, p1=p1)
     res = reshape_out(res)
     if deferred:
         return res, None
@@ -1593,13 +1678,15 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
     full query, so benchmarks can use it as the honest completion
     barrier instead of dispatching a separate probe.
 
-    stage1: "compact" (default for passes=1 since the round-5 device A/B
-    measured it 8.10 vs 7.59 Mrays/s at the 1M headline; env
+    stage1: "compact" (the default since the round-5 device A/B measured
+    it 8.10 vs 7.59 Mrays/s at the 1M headline; env
     RAYCORE_REGROUP_STAGE1 overrides) compacts the transposed phase-A
     matrix so blocks pack sort-free; "sort" uses the two-key grouping
-    sort — same candidate set, different block order. passes>=2 and
-    non-full payloads always use "sort" (the compact driver implements
-    neither).
+    sort — same candidate set, different block order. passes>=2 runs the
+    multiwave on the compact driver too (wave selection on the compacted
+    pair list, remainder re-compacted — no grouping sort); non-full
+    payloads always use "sort" (the compact driver returns the full
+    payload only).
 
     payload: "full" (default) gathers the winning triangle and returns
     the exact (t, barycentric, triangle) payload; "slim" returns the
@@ -1620,11 +1707,11 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
         stage1 = _os.environ.get("RAYCORE_REGROUP_STAGE1", "compact")
     if stage1 not in ("sort", "compact"):
         raise ValueError(f"stage1 must be 'sort' or 'compact', got {stage1}")
-    if stage1 == "compact" and passes == 1 and payload == "full":
+    if stage1 == "compact" and payload == "full":
         return _closest_hit_regrouped_cm(
             scene, rays, tile=tile, subgroup=subgroup, spb=spb,
             pairs_per_tile=pairs_per_tile, combine=combine,
-            with_checksum=with_checksum, deferred=deferred)
+            with_checksum=with_checksum, deferred=deferred, passes=passes)
     interpret = jax.default_backend() != "tpu"
     batch = rays.batch_shape
     flat = lambda a: a.reshape((-1,) + a.shape[len(batch):])

@@ -105,6 +105,39 @@ def test_regroup_multiwave_depth_complex():
     assert cs is not None    # warm fused path was actually taken
 
 
+def test_regroup_multiwave_compact_matches_sort():
+    """The compact-stage1 multiwave (wave selection on the compacted
+    pair list + re-compacted remainder) must produce the same hits as
+    the sort-stage1 multiwave: identical wave SET per subgroup (nearest
+    by the same refined entries, same cid tiebreak) and an identical
+    conservative prune threshold — only the block packing differs."""
+    mesh = rc.blobby_mesh(n_theta=64, n_phi=64)
+    scene = build_dense(mesh, cluster_size=64)
+    rng = np.random.default_rng(7)
+    R = 1536
+    o = rng.uniform(-0.5, 0.5, (R, 3)).astype(np.float32)
+    o[:, 2] = 2.5
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.3
+    rays = rc.Ray.create(o=jnp.asarray(o),
+                         d=jnp.asarray(np.ascontiguousarray(d)))
+    for p in (2, 4):
+        a = closest_hit_regrouped(scene, rays, passes=p, stage1="sort")
+        b = closest_hit_regrouped(scene, rays, passes=p, stage1="compact")
+        assert np.array_equal(np.asarray(a.hit), np.asarray(b.hit))
+        assert np.array_equal(np.asarray(a.prim_idx),
+                              np.asarray(b.prim_idx))
+        h = np.asarray(a.hit)
+        np.testing.assert_allclose(np.asarray(a.t)[h], np.asarray(b.t)[h],
+                                   rtol=1e-6)
+    # Warm repeat rides the fused compact-multiwave executable.
+    got, cs = closest_hit_regrouped(scene, rays, passes=4,
+                                    stage1="compact", with_checksum=True)
+    assert cs is not None
+    _check(closest_hit_brute(scene.prims, rays), got)
+
+
 @pytest.mark.parametrize("passes", [1, 2])
 def test_regroup_slim_payload(passes):
     """payload="slim" skips the triangle-payload gather but must keep

@@ -68,11 +68,30 @@ def main():
     # auto-routes every bounce's closest/occlusion query to the fastest
     # engine (the product-default story: prewarm once, then all renderer
     # pipelines ride the warm fused paths — accel/dispatch.py).
+    # Step-wise with progress prints: the r5a batch entry died inside a
+    # single opaque rc.prewarm call after 85 min (remote compile or
+    # tunnel hang) — per-step timestamps localize the long pole.
+    from raycore_tpu.ops.pallas_regroup import (closest_hit_regrouped,
+                                                any_hit_regrouped)
     R = side * side * cfg.spp
-    t0 = time.time()
-    warm_s = rc.prewarm(scene, R)
-    print(f"prewarm({R} rays): {warm_s:.1f} s "
-          f"(total {time.time() - t0:.1f} s)", flush=True)
+    lo, hi = np.asarray(scene.root_aabb)
+    g = int(np.sqrt(R))
+    xs = jnp.linspace(lo[0], hi[0], g)
+    ys = jnp.linspace(lo[1], hi[1], g)
+    X, Y = jnp.meshgrid(xs, ys, indexing="ij")
+    po = jnp.stack([X, Y, jnp.full_like(X, hi[2] + 1.0)], -1).reshape(-1, 3)
+    po = jnp.tile(po, (-(-R // po.shape[0]), 1))[:R]
+    pd = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0], jnp.float32),
+                          po.shape)
+    pr = rc.Ray.create(o=po, d=pd)
+    for label, q in (("closest cold", 0), ("closest warm(fused)", 0),
+                     ("anyhit cold", 1), ("anyhit warm(fused)", 1)):
+        t0 = time.time()
+        if q == 0:
+            closest_hit_regrouped(scene, pr, tile=2048, passes="auto")
+        else:
+            any_hit_regrouped(scene, pr, tile=2048)
+        print(f"prewarm {label}: {time.time() - t0:.1f} s", flush=True)
 
     def frame(i, pipelined=False):
         img = trace_paths_staged(scene, mats, lights, cam,
