@@ -1,13 +1,19 @@
 #!/bin/bash
-# Round-5 TPU evidence batch, part B. Runs strictly AFTER part A (one
-# TPU process at a time): waits for the ALL DONE marker in the part-A
-# log. Content: the BENCH_r05-predictor window on the new defaults
-# (compact stage1 + fingerprinted hints), device A/Bs for the round-5
-# levers (slim payload, grid unroll — each behind a tiny-shape kernel
-# prewarm), re-queues of the flake-eaten rows (2M rays, engine=auto in
-# a clean window, occlusion at tile 2048, cold routing), the 4M-tri
-# scale row behind its C=512 mitigation, the fixed bf16x3 parity tool,
-# and the 512 B bulk-gather row that pins the BFS costing bracket.
+# Round-5 TPU evidence batch, part B (revised after the part-A results
+# and the compact-multiwave + pipelined-renderer landings). Runs
+# strictly AFTER part A (one TPU process at a time): waits for the ALL
+# DONE marker in the part-A log. Ordered by expected evidence value per
+# tunnel-minute:
+#   tier 0  BENCH_r05 predictor windows (new defaults, scene-true hints)
+#   tier 1  round-5 lever A/Bs: compact multiwave on blobby (new),
+#           grid unroll (prewarmed), slim payload
+#   tier 2  path tracer warm frame (reworked tool: step-wise prewarm
+#           prints + pipelined-frame A/B) — the 85-min opaque-prewarm
+#           death in part A is re-queued with diagnosability
+#   tier 3  re-queues: engine=auto clean window, occlusion tile 2048,
+#           2M rays, cold routing, bf16x3 + default parity
+#   tier 4  4M-tri scale rows behind the C=512 / fuse-gate mitigations
+#   tier 5  decision-doc probe (512B bulk gather) + closing window
 set -x
 cd /root/repo
 LOG=${1:-/tmp/evidence_r5b.log}
@@ -56,8 +62,12 @@ run "headline window 6 (driver-identical, repeat)" 3600 \
     python bench.py
 
 # --- tier 1: round-5 lever A/Bs ---
-run "slim payload A/B (1M/1M)" 3600 \
-    env RAYCORE_BENCH_PAYLOAD=slim RAYCORE_BENCH_REPS=3 python bench.py
+run "blobby passes=4 SORT multiwave (round-4 arch, control)" 5400 \
+    env RAYCORE_BENCH_SCENE=blobby RAYCORE_BENCH_PASSES=4 \
+        RAYCORE_REGROUP_STAGE1=sort RAYCORE_BENCH_REPS=3 python bench.py
+run "blobby passes=4 COMPACT multiwave (new driver)" 5400 \
+    env RAYCORE_BENCH_SCENE=blobby RAYCORE_BENCH_PASSES=4 \
+        RAYCORE_BENCH_REPS=3 python bench.py
 run "unroll prewarm (small shape, fresh kernel)" 5400 \
     env RAYCORE_REGROUP_UNROLL=2 RAYCORE_BENCH_TRIS=100000 \
         RAYCORE_BENCH_RAYS=1048576 RAYCORE_BENCH_REPS=2 python bench.py
@@ -65,8 +75,14 @@ run "unroll=2 headline A/B" 5400 \
     env RAYCORE_REGROUP_UNROLL=2 RAYCORE_BENCH_REPS=3 python bench.py
 run "unroll=4 headline A/B" 5400 \
     env RAYCORE_REGROUP_UNROLL=4 RAYCORE_BENCH_REPS=3 python bench.py
+run "slim payload A/B (1M/1M)" 3600 \
+    env RAYCORE_BENCH_PAYLOAD=slim RAYCORE_BENCH_REPS=3 python bench.py
 
-# --- tier 2: re-queues in clean windows ---
+# --- tier 2: path tracer warm frame + pipelined A/B (re-queue) ---
+run "path tracer warm frame (step-wise prewarm, pipelined A/B)" 5400 \
+    python tools/tpu_pathtracer_bench.py
+
+# --- tier 3: re-queues in clean windows ---
 run "engine=auto (dispatch routing, scene-true hints)" 3600 \
     env RAYCORE_BENCH_ENGINE=auto RAYCORE_BENCH_REPS=3 python bench.py
 run "engine=occlusion at tile 2048" 3600 \
@@ -80,7 +96,7 @@ run "parity bf16x3 (flip-rate tool)" 3600 \
 run "parity default (exact masks)" 3600 \
     python tools/tpu_parity_regroup.py
 
-# --- tier 3: 4M-tri scale row behind the C=512 mitigation ---
+# --- tier 4: 4M-tri scale row behind the C=512 mitigation ---
 run "C=512 kernel prewarm (250K tris)" 5400 \
     env RAYCORE_BENCH_TRIS=250000 RAYCORE_BENCH_CLUSTER=512 \
         RAYCORE_BENCH_REPS=2 python bench.py
@@ -90,12 +106,9 @@ run "bench 4M tris / 1M rays (C=512, K=8192)" 5400 \
 run "bench 4M tris / 1M rays (C=128, fuse-gated two-stage)" 5400 \
     env RAYCORE_BENCH_TRIS=4000000 RAYCORE_BENCH_REPS=3 python bench.py
 
-# --- tier 4: decision-doc verification probes ---
+# --- tier 5: decision-doc probe + closing window ---
 run "bulk-gather 512B rows (BFS costing bracket)" 2400 \
     python tools/tpu_gather_probe.py 65536 2048
-run "blobby passes=auto (compact-default routing sanity)" 3600 \
-    env RAYCORE_BENCH_SCENE=blobby RAYCORE_BENCH_PASSES=4 \
-        RAYCORE_BENCH_REPS=3 python bench.py
 run "headline window 7 (closing)" 3600 \
     python bench.py
 echo "ALL DONE $(date -u +%H:%M:%S)" >> "$LOG"
