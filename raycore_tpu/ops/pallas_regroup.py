@@ -1098,7 +1098,7 @@ def _stage1(scene, o, d, t_min, t_max, *, TILE: int, G: int, SPB: int,
 
 
 def _stage1_cm_core(scene, o, d, t_min, t_max, TILE, G, SPB, P_cap, Q_cap,
-                    interpret, waves: int = 0):
+                    interpret, waves: int = 0, nb1=None):
     """SORT-FREE stage1: compact the TRANSPOSED phase-A entry matrix so
     the coarse worklist comes out cluster-major for free; the subgroup
     expansion preserves that order, so after one compaction the blocks
@@ -1178,9 +1178,17 @@ def _stage1_cm_core(scene, o, d, t_min, t_max, TILE, G, SPB, P_cap, Q_cap,
     chf = jnp.stack(chosen_all, axis=1).reshape(-1)   # (n_sub * W,)
     subrep = jnp.repeat(jnp.arange(n_sub, dtype=jnp.int32), waves)
     B1 = n_sub * waves // SPB + K + 1
-    bc1, bs1, _tot1 = group_flat_cluster_major(
+    bc1, bs1, tot1 = group_flat_cluster_major(
         subrep, jnp.minimum(chf, K - 1), chf < K,
         SPB=SPB, n_sub=n_sub, B_cap=B1, K=K)
+    if nb1 is not None:
+        # Predicted wave grid (warm fused path): the static worst-case
+        # bound pads ~K no-op grid steps per sweep; slice to the
+        # validated prediction instead (same contract as the remainder
+        # grid's nb — tot1 rides the totals readback and a miss falls
+        # back to the two-stage path).
+        B1 = min(nb1, B1)
+        bc1, bs1 = bc1[:B1], bs1[:B1]
     k1r, p1r = run_regrouped(bs1, bc1, tbl, scene.tri_feats, G=G, SPB=SPB,
                              C=scene.cluster_size, n_blocks=B1,
                              interpret=interpret,
@@ -1208,7 +1216,10 @@ def _stage1_cm_core(scene, o, d, t_min, t_max, TILE, G, SPB, P_cap, Q_cap,
     cid_r = jnp.where(rvalid, jnp.take(cid_q, sel2), K)
     block_cid, block_subs, total = pack_presorted_cluster_major(
         cid_r, sub_r, rvalid, SPB=SPB, n_sub=n_sub, B_cap=B_cap, K=K)
-    totals = jnp.stack([coarse_total, q_total, total])
+    # 4-element totals for the multiwave driver: tot1 (true wave-grid
+    # block count) validates the nb1 prediction. passes=1 totals stay
+    # 3-element — its fused graphs (the headline path) are unchanged.
+    totals = jnp.stack([coarse_total, q_total, total, tot1])
     return block_cid, block_subs, tbl, totals, k1, p1
 
 
@@ -1222,18 +1233,19 @@ def _stage1_cm(scene, o, d, t_min, t_max, *, TILE: int, G: int, SPB: int,
 
 @partial(jax.jit, static_argnames=("TILE", "G", "SPB", "P_cap", "Q_cap",
                                    "nb", "interpret", "combine", "R0",
-                                   "waves"))
+                                   "waves", "nb1"))
 def _fused_query_cm(scene, o, d, t_min, t_max, *, TILE: int, G: int,
                     SPB: int, P_cap: int, Q_cap: int, nb: int,
                     interpret: bool, combine: str, R0: int,
-                    waves: int = 0):
+                    waves: int = 0, nb1=None):
     """One-dispatch warm path for the sort-free stage1 (same predict-
     then-validate contract as _fused_query; totals carry coarse, q,
     blocks + a result checksum). waves>0 adds the ordered-wave sweep
-    whose per-ray results merge into stage2."""
+    whose per-ray results merge into stage2; its grid runs at the
+    predicted nb1 (validated via the 4th totals element)."""
     block_cid, block_subs, tbl, totals, k1, p1 = _stage1_cm_core(
         scene, o, d, t_min, t_max, TILE, G, SPB, P_cap, Q_cap, interpret,
-        waves)
+        waves, nb1)
     res = _stage2_core(scene, block_cid, block_subs, tbl, o[:R0], d[:R0],
                        G, SPB, nb, interpret, combine, o.shape[0],
                        k1, p1)
@@ -1580,41 +1592,60 @@ def _closest_hit_regrouped_cm(scene, rays, *, tile: int, subgroup: int,
     # executable's XLA compile is superlinear in K (tools/
     # probe_4m_compile.py); above the threshold stay two-stage.
     fuse_max_k = int(_os.environ.get("RAYCORE_FUSE_MAX_K", "16384"))
+    # Static worst-case wave-grid bound (multiwave only): the warm path
+    # runs the wave sweep at a predicted nb1 instead (validated via the
+    # 4th totals element), saving ~K no-op grid steps per query.
+    n_sub_pad = o.shape[0] // G
+    B1_full = n_sub_pad * waves // SPB + K + 1 if waves else 0
     if cached is not None and combine == "grouped" and K <= fuse_max_k:
         B_cap = Q_cap // SPB + K + 1
         nb_pred = min(cached["nb"], B_cap)
+        nb1_pred = min(cached.get("nb1", B1_full), B1_full) if waves \
+            else None
         res, totals = _fused_query_cm(
             scene, o, d, t_min, t_max, TILE=TILE, G=G, SPB=SPB,
             P_cap=P_cap, Q_cap=Q_cap, nb=nb_pred, interpret=interpret,
-            combine=combine, R0=R0, waves=waves)
-        if deferred:
-            def _finalize(res=res, totals=totals, ck=ck, P_cap=P_cap,
-                          Q_cap=Q_cap, nb_pred=nb_pred, cached=cached):
-                tarr = _np.asarray(totals)
-                coarse, q_total, total = (int(x) for x in tarr[:3])
-                if coarse <= P_cap and q_total <= Q_cap \
-                        and total <= nb_pred:
-                    _cache_put_cm(scene, ck, max(cached["coarse"], coarse),
-                                  max(cached["q"], q_total),
-                                  max(cached["nb"], nb_pred))
-                    return float(tarr[3:4].view(_np.float32)[0])
+            combine=combine, R0=R0, waves=waves, nb1=nb1_pred)
+
+        def _validate(tarr, sync_cache=True):
+            # Shared fused-path validation: 3-element totals (+checksum)
+            # for passes=1, 4-element for multiwave (tot1 validates the
+            # wave-grid prediction). Returns the checksum or None.
+            coarse, q_total, total = (int(x) for x in tarr[:3])
+            ok = coarse <= P_cap and q_total <= Q_cap and total <= nb_pred
+            ent = dict(coarse=max(cached["coarse"], coarse),
+                       q=max(cached["q"], q_total),
+                       nb=max(cached["nb"], nb_pred))
+            ci = 3
+            if waves:
+                tot1 = int(tarr[3])
+                ok = ok and tot1 <= nb1_pred
+                ent["nb1"] = max(cached.get("nb1", 0),
+                                 min(max(512, _next_pow2(tot1)), B1_full))
+                ci = 4
+            if not ok:
                 return None
+            if sync_cache:
+                _cache_put_cm(scene, ck, **ent)
+            return float(tarr[ci:ci + 1].view(_np.float32)[0])
+
+        if deferred:
+            def _finalize(res=res, totals=totals):
+                return _validate(_np.asarray(totals))
             return reshape_out(res), _finalize
-        tarr = _np.asarray(totals)
-        coarse, q_total, total = (int(x) for x in tarr[:3])
-        if coarse <= P_cap and q_total <= Q_cap and total <= nb_pred:
-            _cache_put_cm(scene, ck, max(cached["coarse"], coarse),
-                          max(cached["q"], q_total), max(cached["nb"],
-                                                         nb_pred))
+        cs = _validate(_np.asarray(totals))
+        if cs is not None:
             if with_checksum:
-                return reshape_out(res), float(tarr[3:4].view(_np.float32)[0])
+                return reshape_out(res), cs
             return reshape_out(res)
 
     while True:
         block_cid, block_subs, tbl, totals, k1, p1 = _stage1_cm(
             scene, o, d, t_min, t_max, TILE=TILE, G=G, SPB=SPB,
             P_cap=P_cap, Q_cap=Q_cap, interpret=interpret, waves=waves)
-        coarse, q_total, total = (int(x) for x in _np.asarray(totals))
+        tarr = _np.asarray(totals)
+        coarse, q_total, total = (int(x) for x in tarr[:3])
+        tot1 = int(tarr[3]) if waves else 0
         ok_p, ok_q = coarse <= P_cap, q_total <= Q_cap
         if ok_p and ok_q:
             break
@@ -1630,8 +1661,12 @@ def _closest_hit_regrouped_cm(scene, rays, *, tile: int, subgroup: int,
     nb = 1 << max(9, (max(total, 1) - 1).bit_length())
     nb = min(nb, block_cid.shape[0])
     prev = cached or dict(coarse=0, q=0, nb=0)
-    _cache_put_cm(scene, ck, max(prev["coarse"], coarse),
-                  max(prev["q"], q_total), max(prev["nb"], nb))
+    kw = dict(coarse=max(prev["coarse"], coarse),
+              q=max(prev["q"], q_total), nb=max(prev["nb"], nb))
+    if waves:
+        kw["nb1"] = max(prev.get("nb1", 0),
+                        min(max(512, _next_pow2(tot1)), B1_full))
+    _cache_put_cm(scene, ck, **kw)
     res = _stage2(scene, block_cid, block_subs, tbl, o[:R0], d[:R0],
                   G=G, SPB=SPB, n_blocks=nb, interpret=interpret,
                   combine=combine, R_pad=o.shape[0], k1=k1, p1=p1)
@@ -1641,14 +1676,17 @@ def _closest_hit_regrouped_cm(scene, rays, *, tile: int, subgroup: int,
     return (res, None) if with_checksum else res
 
 
-def _cache_put_cm(scene, ck, coarse, q, nb):
+def _cache_put_cm(scene, ck, coarse, q, nb, nb1=None):
     try:
         ref = _weakref.ref(scene.tri_feats)
     except TypeError:
         ref = None
     while len(_CAPACITY_CACHE) >= _CAPACITY_CACHE_MAX:
         _CAPACITY_CACHE.pop(next(iter(_CAPACITY_CACHE)))
-    _CAPACITY_CACHE[ck] = dict(coarse=coarse, q=q, nb=nb, ref=ref)
+    ent = dict(coarse=coarse, q=q, nb=nb, ref=ref)
+    if nb1 is not None:
+        ent["nb1"] = nb1
+    _CAPACITY_CACHE[ck] = ent
     _cap_store.save_hint(ck, _CAPACITY_CACHE[ck], scene)
 
 
