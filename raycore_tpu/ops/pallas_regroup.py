@@ -672,7 +672,7 @@ def _exact_wave_ub_t(scene, p1, o, d, t_min, t_max):
 
 def _stage1_pruned_core(scene, o, d, t_min, t_max, TILE: int, G: int,
                         SPB: int, P_cap: int, interpret: bool,
-                        waves: int = 1):
+                        waves: int = 1, nb1=None):
     """Ordered-wave stage1: refine, sweep each subgroup's ``waves``
     NEAREST candidate clusters (by conservative slab entry; one
     statically-bounded grid — no extra host sync), then prune the
@@ -722,9 +722,16 @@ def _stage1_pruned_core(scene, o, d, t_min, t_max, TILE: int, G: int,
     chf = jnp.stack(chosen_all, axis=1).reshape(-1)   # (n_sub * W,)
     subrep = jnp.repeat(jnp.arange(n_sub, dtype=jnp.int32), waves)
     B1 = n_sub * waves // SPB + K + 1
-    bc1, bs1, _tot1 = group_flat_cluster_major(
+    bc1, bs1, tot1 = group_flat_cluster_major(
         subrep, jnp.minimum(chf, K - 1), chf < K,
         SPB=SPB, n_sub=n_sub, B_cap=B1, K=K)
+    if nb1 is not None:
+        # Predicted wave grid (warm fused path): the static worst-case
+        # bound pads ~K no-op grid steps per sweep (~8K at the 1M blobby
+        # config); slice to the validated prediction instead — tot1
+        # rides the totals readback, a miss falls back to two-stage.
+        B1 = min(nb1, B1)
+        bc1, bs1 = bc1[:B1], bs1[:B1]
     k1r, p1r = run_regrouped(bs1, bc1, tbl, scene.tri_feats, G=G, SPB=SPB,
                              C=C, n_blocks=B1, interpret=interpret,
                              tbl_mode=_tbl_mode_default(),
@@ -755,7 +762,7 @@ def _stage1_pruned_core(scene, o, d, t_min, t_max, TILE: int, G: int,
     fine2 = jnp.where(fine_w <= ub_t, fine_w, jnp.inf)
     block_cid, block_subs, total = group_cluster_major(
         tids, cids, fine2, SPT=SPT, SPB=SPB, n_sub=n_sub, B_cap=B_cap, K=K)
-    return (block_cid, block_subs, tbl, total, coarse_total, k1, p1)
+    return (block_cid, block_subs, tbl, total, coarse_total, k1, p1, tot1)
 
 
 @partial(jax.jit, static_argnames=("TILE", "G", "SPB", "P_cap",
@@ -768,25 +775,26 @@ def _stage1_pruned(scene, o, d, t_min, t_max, *, TILE: int, G: int,
 
 @partial(jax.jit, static_argnames=("TILE", "G", "SPB", "P_cap", "nb",
                                    "interpret", "combine", "R0", "waves",
-                                   "payload"))
+                                   "payload", "nb1"))
 def _fused_query_pruned(scene, o, d, t_min, t_max, *, TILE: int, G: int,
                         SPB: int, P_cap: int, nb: int, interpret: bool,
                         combine: str, R0: int, waves: int,
-                        payload: str = "full"):
+                        payload: str = "full", nb1=None):
     """One-dispatch warm path for the ordered-wave (passes>=2) engine:
     wave stage1 + remainder sweep with a PREDICTED remainder grid, same
-    predict-then-validate contract as _fused_query. The wave grid is
-    statically bounded, so only the remainder grid needs the
-    prediction."""
+    predict-then-validate contract as _fused_query. The wave grid runs
+    at the predicted nb1 (tot1 rides the totals readback as the 4th
+    element; a miss falls back to the two-stage path)."""
     out = _stage1_pruned_core(scene, o, d, t_min, t_max, TILE, G, SPB,
-                              P_cap, interpret, waves)
-    block_cid, block_subs, tbl, total, coarse_total, k1, p1 = out
+                              P_cap, interpret, waves, nb1)
+    block_cid, block_subs, tbl, total, coarse_total, k1, p1, tot1 = out
     res = _stage2_core(scene, block_cid, block_subs, tbl, o[:R0], d[:R0],
                        G, SPB, nb, interpret, combine, o.shape[0],
                        k1, p1, payload)
     csum = jnp.sum(res.t[::257], dtype=jnp.float32)
     return res, jnp.stack([total, coarse_total,
-                           jax.lax.bitcast_convert_type(csum, jnp.int32)])
+                           jax.lax.bitcast_convert_type(csum, jnp.int32),
+                           tot1])
 
 
 def _stage1_packed_core(scene, o, d, t_min, t_max, TILE, G, SPB_sub,
@@ -1398,14 +1406,17 @@ def _cache_get(scene, ck):
     return ent
 
 
-def _cache_put(scene, ck, coarse, nb):
+def _cache_put(scene, ck, coarse, nb, nb1=None):
     try:
         ref = _weakref.ref(scene.tri_feats)
     except TypeError:
         ref = None
     while len(_CAPACITY_CACHE) >= _CAPACITY_CACHE_MAX:
         _CAPACITY_CACHE.pop(next(iter(_CAPACITY_CACHE)))
-    _CAPACITY_CACHE[ck] = dict(coarse=coarse, nb=nb, ref=ref)
+    ent = dict(coarse=coarse, nb=nb, ref=ref)
+    if nb1 is not None:
+        ent["nb1"] = nb1
+    _CAPACITY_CACHE[ck] = ent
     _cap_store.save_hint(ck, _CAPACITY_CACHE[ck], scene)
 
 
@@ -1448,15 +1459,17 @@ def has_warm_capacity(scene, n_rays: int, *, tile: int = 2048,
     if occlusion:
         payload = "occlusion"
     G, TILE, Rp = _shape_params(n_rays, tile, subgroup)
-    if payload == "full" \
-            and _os.environ.get("RAYCORE_REGROUP_STAGE1",
-                                "compact") == "compact":
+    explicit_s1 = "RAYCORE_REGROUP_STAGE1" in _os.environ
+    s1 = _os.environ.get("RAYCORE_REGROUP_STAGE1", "compact")
+    if payload == "full" and s1 == "compact" \
+            and (passes == 1 or explicit_s1):
         # A routed full-payload query will take the sort-free compact
-        # driver (the measured default), which capacity-caches under its
-        # own "cm" key — warmth must be probed on the key the routed
+        # driver (the measured passes=1 default; multiwave stays on
+        # "sort" unless explicitly opted in — mirror
+        # closest_hit_regrouped's routing), which capacity-caches under
+        # its own "cm" key — warmth must be probed on the key the routed
         # query will actually use, else dispatch would either miss a
-        # warm compact engine or route into a cold one. passes=1 keeps
-        # the original key shape; multiwave adds the passes field.
+        # warm compact engine or route into a cold one.
         ck = (id(scene.tri_feats), scene.tri_feats.shape, Rp, TILE, G,
               spb, "cm") if passes == 1 else \
              (id(scene.tri_feats), scene.tri_feats.shape, Rp, TILE, G,
@@ -1716,15 +1729,16 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
     full query, so benchmarks can use it as the honest completion
     barrier instead of dispatching a separate probe.
 
-    stage1: "compact" (the default since the round-5 device A/B measured
-    it 8.10 vs 7.59 Mrays/s at the 1M headline; env
+    stage1: "compact" (the passes=1 default since the round-5 device A/B
+    measured it 8.39 vs 7.59 Mrays/s at the 1M headline; env
     RAYCORE_REGROUP_STAGE1 overrides) compacts the transposed phase-A
     matrix so blocks pack sort-free; "sort" uses the two-key grouping
-    sort — same candidate set, different block order. passes>=2 runs the
-    multiwave on the compact driver too (wave selection on the compacted
-    pair list, remainder re-compacted — no grouping sort); non-full
-    payloads always use "sort" (the compact driver returns the full
-    payload only).
+    sort — same candidate set, different block order. The multiwave
+    (passes>=2) DEFAULTS to "sort": its compact variant exists
+    (stage1="compact" opts in) but measured slower on device (blobby
+    passes=4: 228 vs 182 ms — unsorted-scatter wave selection + larger
+    compactions; docs/evidence/r5b). Non-full payloads always use
+    "sort" (the compact driver returns the full payload only).
 
     payload: "full" (default) gathers the winning triangle and returns
     the exact (t, barycentric, triangle) payload; "slim" returns the
@@ -1741,11 +1755,21 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
     if payload not in ("full", "slim", "occlusion"):
         raise ValueError(f"payload must be 'full', 'slim' or 'occlusion',"
                          f" got {payload}")
+    explicit_s1 = stage1 is not None \
+        or "RAYCORE_REGROUP_STAGE1" in _os.environ
     if stage1 is None:
         stage1 = _os.environ.get("RAYCORE_REGROUP_STAGE1", "compact")
     if stage1 not in ("sort", "compact"):
         raise ValueError(f"stage1 must be 'sort' or 'compact', got {stage1}")
-    if stage1 == "compact" and payload == "full":
+    # Default routing follows the device A/Bs: compact for passes=1
+    # (8.39 vs 7.59 Mrays/s at the 1M headline), SORT for the multiwave
+    # (blobby passes=4: sort 182 ms vs compact 228 — the compact
+    # driver's unsorted-scatter wave selection and larger compactions
+    # lose on depth-complex pair lists; docs/evidence/r5b). An explicit
+    # stage1="compact" (arg or env) still opts the multiwave into the
+    # cm driver for experiments.
+    if stage1 == "compact" and payload == "full" \
+            and (passes == 1 or explicit_s1):
         return _closest_hit_regrouped_cm(
             scene, rays, tile=tile, subgroup=subgroup, spb=spb,
             pairs_per_tile=pairs_per_tile, combine=combine,
@@ -1801,6 +1825,11 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
         # the totals afterwards and fall back when the prediction missed.
         B_cap = P_cap * (TILE // G) // SPB + scene.n_clusters + 1
         nb_pred = min(cached["nb"], B_cap)
+        n_sub_pad = o.shape[0] // G
+        B1_full = n_sub_pad * (passes - 1) // SPB + scene.n_clusters + 1 \
+            if passes > 1 else 0
+        nb1_pred = min(cached.get("nb1", B1_full), B1_full) \
+            if passes > 1 else None
         if passes == 1:
             res, totals = _fused_query(
                 scene, o, d, t_min, t_max, TILE=TILE, G=G, SPB=SPB,
@@ -1811,8 +1840,27 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
                 scene, o, d, t_min, t_max, TILE=TILE, G=G, SPB=SPB,
                 P_cap=P_cap, nb=nb_pred, interpret=interpret,
                 combine=combine, R0=R0, waves=passes - 1,
-                payload=payload)
+                payload=payload, nb1=nb1_pred)
         import numpy as _np
+
+        def _validate(tarr):
+            # Totals: [blocks, coarse, checksum] (+ tot1 for multiwave —
+            # validates the wave-grid prediction). Returns the checksum
+            # or None on any capacity miss.
+            it, ic = int(tarr[0]), int(tarr[1])
+            ok = ic <= P_cap and it <= nb_pred
+            ent = dict(coarse=max(cached["coarse"], ic),
+                       nb=max(cached["nb"], max(512, _next_pow2(it))))
+            if passes > 1:
+                tot1 = int(tarr[3])
+                ok = ok and tot1 <= nb1_pred
+                ent["nb1"] = max(cached.get("nb1", 0),
+                                 min(max(512, _next_pow2(tot1)), B1_full))
+            if not ok:
+                return None
+            _cache_put(scene, ck, **ent)
+            return float(tarr[2:3].view(_np.float32)[0])
+
         if deferred:
             # Pipelined-dispatch mode: hand back the UNSYNCED result plus
             # a finalizer that does the usual totals validation later.
@@ -1821,29 +1869,17 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
             # the query re-issued non-deferred). For identical repeated
             # queries (bench reps, fixed camera) the totals are
             # deterministic, so one validated call validates them all.
-            def _finalize(res=res, totals=totals, ck=ck, P_cap=P_cap,
-                          nb_pred=nb_pred, cached=cached):
-                tarr = _np.asarray(totals)
-                it, ic = int(tarr[0]), int(tarr[1])
-                if ic <= P_cap and it <= nb_pred:
-                    _cache_put(scene, ck, max(cached["coarse"], ic),
-                               max(cached["nb"],
-                                   max(512, _next_pow2(it))))
-                    return float(tarr[2:3].view(_np.float32)[0])
-                return None
+            def _finalize(res=res, totals=totals):
+                return _validate(_np.asarray(totals))
             return reshape_out(res), _finalize
-        tarr = _np.asarray(totals)
-        it, ic = int(tarr[0]), int(tarr[1])
-        if ic <= P_cap and it <= nb_pred:
-            # Sticky-max both counts: shrinking workloads (e.g. later
-            # path-tracer bounces) must NOT move to smaller capacity
-            # buckets — every new bucket is a multi-minute remote
-            # compile on the tunneled backend.
-            _cache_put(scene, ck, max(cached["coarse"], ic),
-                       max(cached["nb"], max(512, _next_pow2(it))))
+        # Sticky-max all counts: shrinking workloads (e.g. later
+        # path-tracer bounces) must NOT move to smaller capacity
+        # buckets — every new bucket is a multi-minute remote
+        # compile on the tunneled backend.
+        cs = _validate(_np.asarray(totals))
+        if cs is not None:
             if with_checksum:
-                return reshape_out(res), float(
-                    tarr[2:3].view(_np.float32)[0])
+                return reshape_out(res), cs
             return reshape_out(res)
 
     k1 = p1 = None
@@ -1857,7 +1893,7 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
             out = _stage1_pruned(scene, o, d, t_min, t_max, TILE=TILE,
                                  G=G, SPB=SPB, P_cap=P_cap,
                                  interpret=interpret, waves=passes - 1)
-            block_cid, block_subs, tbl, total, coarse, k1, p1 = out
+            block_cid, block_subs, tbl, total, coarse, k1, p1, tot1 = out
         else:
             block_cid, block_subs, tbl, total, coarse = _stage1(
                 scene, o, d, t_min, t_max, TILE=TILE, G=G, SPB=SPB,
@@ -1873,8 +1909,14 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
     nb = 1 << max(9, (max(nb, 1) - 1).bit_length())
     nb = min(nb, block_cid.shape[0])
     prev = _cache_get(scene, ck) or dict(coarse=0, nb=0)
-    _cache_put(scene, ck, max(prev["coarse"], int(coarse)),
-               max(prev["nb"], nb))
+    kw = dict(coarse=max(prev["coarse"], int(coarse)),
+              nb=max(prev["nb"], nb))
+    if passes >= 2:
+        n_sub_pad = o.shape[0] // G
+        B1_full = n_sub_pad * (passes - 1) // SPB + scene.n_clusters + 1
+        kw["nb1"] = max(prev.get("nb1", 0),
+                        min(max(512, _next_pow2(int(tot1))), B1_full))
+    _cache_put(scene, ck, **kw)
     res = _stage2(scene, block_cid, block_subs, tbl, o[:R0], d[:R0],
                   G=G, SPB=SPB, n_blocks=nb, interpret=interpret,
                   combine=combine, R_pad=o.shape[0], k1=k1, p1=p1,
