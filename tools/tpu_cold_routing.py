@@ -48,7 +48,13 @@ def run_phase(phase):
     rays = rc.Ray.create(o=o, d=d)
     probe = jax.jit(lambda t: t[::257].sum())
 
-    warm_before = has_warm_capacity(scene, n_rays)
+    # Probe warmth exactly the way dispatch routes (accel/dispatch.py):
+    # the auto-resolved passes first, then the plain passes=1 engine. A
+    # probe at the has_warm_capacity default (passes=1) alone misses a
+    # scene whose prewarm auto-resolved to the multiwave (the r5a rc=1:
+    # prewarm warmed the passes=4 key, the tool probed passes=1).
+    warm_before = (has_warm_capacity(scene, n_rays, passes="auto")
+                   or has_warm_capacity(scene, n_rays, passes=1))
     if phase == "A":
         rc.prewarm(scene, n_rays, engine="regroup")
         t0 = time.time()

@@ -9,6 +9,12 @@ materials. Timing via a value-dependent host readback of the image
 
 Usage (TPU): python tools/tpu_pathtracer_bench.py [side] [n_tris]
 Smoke (CPU): RAYCORE_PT_SMOKE=1 python tools/tpu_pathtracer_bench.py
+
+RAYCORE_PT_PHASE splits the run into resumable batch entries (the r5a
+single-entry run burned its whole 90-min timebox against a mid-entry
+tunnel outage; each phase rides the persistent JAX compile cache, so a
+killed phase re-run resumes deeper into the compile chain):
+  prewarm_closest | prewarm_anyhit | frames | pipelined | all (default)
 """
 import os
 import sys
@@ -36,6 +42,7 @@ from raycore_tpu.render.wavefront import Materials, PointLights, Camera
 
 def main():
     smoke = bool(os.environ.get("RAYCORE_PT_SMOKE"))
+    phase = os.environ.get("RAYCORE_PT_PHASE", "all")
     side = int(sys.argv[1]) if len(sys.argv) > 1 else (64 if smoke else 1024)
     n_tris = int(sys.argv[2]) if len(sys.argv) > 2 else (
         20_000 if smoke else 1_000_000)
@@ -84,14 +91,24 @@ def main():
     pd = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0], jnp.float32),
                           po.shape)
     pr = rc.Ray.create(o=po, d=pd)
-    for label, q in (("closest cold", 0), ("closest warm(fused)", 0),
-                     ("anyhit cold", 1), ("anyhit warm(fused)", 1)):
+    steps = (("closest cold", 0), ("closest warm(fused)", 0),
+             ("anyhit cold", 1), ("anyhit warm(fused)", 1))
+    if phase == "prewarm_closest":
+        steps = steps[:2]
+    elif phase == "prewarm_anyhit":
+        steps = steps[2:]
+    elif phase in ("frames", "pipelined"):
+        steps = ()
+    for label, q in steps:
         t0 = time.time()
         if q == 0:
             closest_hit_regrouped(scene, pr, tile=2048, passes="auto")
         else:
             any_hit_regrouped(scene, pr, tile=2048)
         print(f"prewarm {label}: {time.time() - t0:.1f} s", flush=True)
+    if phase in ("prewarm_closest", "prewarm_anyhit"):
+        print(f"phase {phase} done", flush=True)
+        return
 
     def frame(i, pipelined=False):
         img = trace_paths_staged(scene, mats, lights, cam,
@@ -100,23 +117,36 @@ def main():
         # Value-dependent readback = honest completion barrier.
         return float(jnp.sum(img[::7, ::7].astype(jnp.float32))), img
 
-    t0 = time.time()
-    s, img = frame(0)
-    cold = time.time() - t0
-    print(f"cold frame: {cold:.2f} s (checksum {s:.3f})", flush=True)
-    warms = []
-    for i in range(1, 4 if not smoke else 2):
-        t0 = time.time()
-        s, img = frame(i)
-        warms.append(time.time() - t0)
-        print(f"warm frame {i}: {warms[-1]:.2f} s", flush=True)
-    best = min(warms)
     rays = side * side * cfg.bounces * 2      # closest + shadow per bounce
-    print(f"best warm: {best:.2f} s  (~{rays / best / 1e6:.2f} Mrays/s "
-          f"over {rays / 1e6:.1f}M queries/frame)", flush=True)
-    arr = np.asarray(img)
-    assert arr.std() > 0.01 and 0.0 <= arr.min() and arr.max() <= 1.0
-    print("image sanity ok")
+    if phase == "pipelined":
+        # Warm reference frame only (frames phase already recorded the
+        # synced timings; its graphs are in the persistent cache).
+        ref_i = 3 if not smoke else 1   # = the pipelined loop's last key
+        t0 = time.time()
+        s, img = frame(ref_i)
+        best = time.time() - t0
+        print(f"synced reference frame: {best:.2f} s (checksum {s:.3f})",
+              flush=True)
+    else:
+        t0 = time.time()
+        s, img = frame(0)
+        cold = time.time() - t0
+        print(f"cold frame: {cold:.2f} s (checksum {s:.3f})", flush=True)
+        warms = []
+        for i in range(1, 4 if not smoke else 2):
+            t0 = time.time()
+            s, img = frame(i)
+            warms.append(time.time() - t0)
+            print(f"warm frame {i}: {warms[-1]:.2f} s", flush=True)
+        best = min(warms)
+        print(f"best warm: {best:.2f} s  (~{rays / best / 1e6:.2f} Mrays/s "
+              f"over {rays / 1e6:.1f}M queries/frame)", flush=True)
+        arr = np.asarray(img)
+        assert arr.std() > 0.01 and 0.0 <= arr.min() and arr.max() <= 1.0
+        print("image sanity ok")
+        if phase == "frames":
+            print("phase frames done", flush=True)
+            return
 
     # Pipelined A/B: same frames through the deferred whole-frame query
     # chain (one capacity sync per frame instead of one per query).
