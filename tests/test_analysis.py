@@ -354,6 +354,52 @@ def test_warm_capacity_survives_process_restart(monkeypatch, tmp_path):
     assert not pr.has_warm_capacity(scene2, n)
 
 
+def test_dispatch_routes_warm_multiwave_scene(monkeypatch):
+    """The r5a cold-routing rc=1 class: on a scene whose passes="auto"
+    resolves to the ordered multiwave, rc.prewarm warms the MULTIWAVE
+    capacity key — a warmth probe at the has_warm_capacity default
+    (passes=1) misses it. Dispatch must probe the auto-resolved key
+    first (accel/dispatch.py) and route the query to the regrouped
+    engine, with results matching the brute oracle."""
+    from raycore_tpu.accel import dispatch as disp
+    from raycore_tpu.accel.brute import closest_hit_brute
+    from raycore_tpu.accel.dense import build_dense
+    from raycore_tpu.ops import pallas_regroup as pr
+    import raycore_tpu as rc_
+    mesh = rc_.blobby_mesh(n_theta=72, n_phi=72)
+    scene = build_dense(mesh, cluster_size=64)
+    if pr.auto_passes(scene) == 1:         # guard: need a multiwave scene
+        import pytest
+        pytest.skip("blobby generator no longer auto-routes to multiwave")
+    n = 45 * 45
+    monkeypatch.setattr(disp, "REGROUP_MIN_RAYS", n)
+    rc_.prewarm(scene, n, engine="regroup")
+    # The asymmetry that broke the r5a cold-routing proof: the multiwave
+    # key is warm, the passes=1 key is not.
+    assert pr.has_warm_capacity(scene, n, passes="auto")
+    assert not pr.has_warm_capacity(scene, n, passes=1)
+    calls = []
+    orig = pr.closest_hit_regrouped
+
+    def spy(*a, **kw):
+        calls.append(kw.get("passes"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pr, "closest_hit_regrouped", spy)
+    xs = jnp.linspace(-0.9, 0.9, 45)
+    X, Y = jnp.meshgrid(xs, xs, indexing="ij")
+    o = jnp.stack([X, Y, jnp.full_like(X, 2.0)], -1).reshape(-1, 3)
+    rays = rc_.Ray.create(o=o, d=jnp.broadcast_to(
+        jnp.asarray([0.0, 0, -1.0]), o.shape))
+    got = disp.scene_closest_hit(scene, rays)
+    assert calls == ["auto"], calls        # routed to the warm multiwave
+    ref = closest_hit_brute(mesh, rays)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    m = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(got.t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_wavefront_reflection_roughness_jitter():
     """Parity with the reference's generate_reflection_rays! roughness
     jitter (docs/src/wavefront-renderer.jl:457-459): with the SAME key,
