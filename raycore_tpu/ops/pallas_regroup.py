@@ -1737,7 +1737,7 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
     (passes>=2) DEFAULTS to "sort": its compact variant exists
     (stage1="compact" opts in) but measured slower on device (blobby
     passes=4: 228 vs 182 ms — unsorted-scatter wave selection + larger
-    compactions; docs/evidence/r5b). Non-full payloads always use
+    compactions; docs/evidence/r5a). Non-full payloads always use
     "sort" (the compact driver returns the full payload only).
 
     payload: "full" (default) gathers the winning triangle and returns
@@ -1765,7 +1765,7 @@ def closest_hit_regrouped(scene, rays, *, tile: int = 512, subgroup: int = 32,
     # (8.39 vs 7.59 Mrays/s at the 1M headline), SORT for the multiwave
     # (blobby passes=4: sort 182 ms vs compact 228 — the compact
     # driver's unsorted-scatter wave selection and larger compactions
-    # lose on depth-complex pair lists; docs/evidence/r5b). An explicit
+    # lose on depth-complex pair lists; docs/evidence/r5a). An explicit
     # stage1="compact" (arg or env) still opts the multiwave into the
     # cm driver for experiments.
     if stage1 == "compact" and payload == "full" \
