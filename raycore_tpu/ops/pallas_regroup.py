@@ -294,7 +294,15 @@ def _unroll_default() -> int:
     """Blocks swept per grid step (RAYCORE_REGROUP_UNROLL, default 1).
     U>1 amortizes the per-grid-step fixed cost (the 6.69-vs-2.3 us/block
     matmul-issue gap, docs/performance.md round-4 decomposition) over U
-    back-to-back sweeps. Resolved at trace time."""
+    back-to-back sweeps. Device A/B (round 5, part C): a WASH at the 1M
+    headline — the fixed term is per-block MXU issue, which U cannot
+    amortize.
+
+    CONTRACT: resolved when the OUTER stage/query jit first traces a
+    config in this process (the outer jits do not carry unroll as a
+    static arg). Changing the env after that is silently ignored for
+    already-traced configs — set it before the first query, or A/B in
+    separate processes (the evidence batches do)."""
     return int(_os.environ.get("RAYCORE_REGROUP_UNROLL", "1"))
 
 
@@ -308,9 +316,10 @@ def run_regrouped(block_subs, block_cid, tbl, feats, *, G: int, SPB: int,
     shape (n_blocks*SPB*G,) in block-row order (use block_subs for the
     row -> ray mapping). payload="pairrow" makes the winner id encode
     (block-row, lane) instead of (cluster, lane) — the instanced engine
-    needs the pair to recover the instance. ``unroll`` must be resolved
-    by the CALLER (outside jit — _unroll_default()): it is a static arg,
-    so env changes re-trace only when the resolved value changes."""
+    needs the pair to recover the instance. ``unroll`` is a static arg
+    here, but the production callers resolve _unroll_default() INSIDE
+    their own outer jits — see _unroll_default's contract for when env
+    changes actually take effect."""
     ROWS = G * SPB
 
     # Scalar-prefetch arrays live in SMEM, where 2D minor dims pad to the

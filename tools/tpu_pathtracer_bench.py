@@ -121,12 +121,21 @@ def main():
     if phase == "pipelined":
         # Warm reference frame only (frames phase already recorded the
         # synced timings; its graphs are in the persistent cache).
+        # Min-of-N synced reference, matching the pipelined loop's
+        # methodology (a single first-sample reference still absorbs
+        # executable loads and would overstate the pipelining win). The
+        # LAST iteration uses the pipelined loop's final key so the
+        # bit-identity check below compares same-key frames.
+        n_ref = 3 if not smoke else 1
         ref_i = 3 if not smoke else 1   # = the pipelined loop's last key
-        t0 = time.time()
-        s, img = frame(ref_i)
-        best = time.time() - t0
-        print(f"synced reference frame: {best:.2f} s (checksum {s:.3f})",
-              flush=True)
+        best = float("inf")
+        for j in range(n_ref):
+            i = ref_i if j == n_ref - 1 else j
+            t0 = time.time()
+            s, img = frame(i)
+            best = min(best, time.time() - t0)
+        print(f"synced reference (min of {n_ref}): {best:.2f} s "
+              f"(checksum {s:.3f})", flush=True)
     else:
         t0 = time.time()
         s, img = frame(0)
