@@ -57,6 +57,12 @@ def bounds_at(scene, cs):
     culls at)."""
     hot = scene.prims_hot
     T = hot.shape[0]
+    if T % cs:  # pad with zero rows (the empty-triangle sentinel) so
+        # coarse granularities (cs > cluster pad quantum) reshape cleanly
+        pad = cs - T % cs
+        hot = jnp.concatenate([hot, jnp.zeros((pad, hot.shape[1]),
+                                              hot.dtype)], axis=0)
+        T += pad
     v = i32_as_f32(hot[:, :9]).reshape(T // cs, cs * 3, 3)
     return jnp.min(v, axis=1), jnp.max(v, axis=1)
 
@@ -167,7 +173,8 @@ def main():
     n_chunks = n_sample // CHUNK
     stride = R // (CHUNK * n_chunks) * CHUNK
 
-    grans = (128, 32, 16, 8)
+    grans = tuple(int(g) for g in os.environ.get(
+        "RAYCORE_CENSUS_GRANS", "128,32,16,8").split(","))
     Gs = (1, 4, 8, 32)
     acc = {(cs, G): [0, 0] for cs in grans for G in Gs}
     n_done = 0
