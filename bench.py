@@ -195,7 +195,12 @@ def inner():
     tile = int(os.environ.get("RAYCORE_BENCH_TILE",
                               2048 if engine in ("regroup", "auto",
                                                  "occlusion") else 512))
-    cluster = int(os.environ.get("RAYCORE_BENCH_CLUSTER", 128))
+    # cluster_size default 256 = the product default (accel/dense.py) and
+    # the part-F device A/B winner: 9.31 Mrays/s vs 8.50 same-batch C=128
+    # control at the 1M/1M headline (fewer, larger blocks halve the
+    # per-block MXU issue count at 1.19x candidate volume; C=512 gives
+    # the tax back — docs/evidence/r5f/).
+    cluster = int(os.environ.get("RAYCORE_BENCH_CLUSTER", 256))
     select = int(os.environ.get("RAYCORE_BENCH_SELECT", 4))
 
     def checkpoint(stage, value=0.0, error=None, **extra):

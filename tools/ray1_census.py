@@ -125,19 +125,27 @@ def exact_t_hit(scene, o, d, E_cluster, max_waves=512):
     return best
 
 
-def census_rows(scene, o, d, t_hit, grans, Gs):
+def census_rows(scene, o, d, t_hit, grans, Gs, half=False):
     """rows[(cs, G)] = (unordered cand/ray, ordered cand/ray) summed over
-    this chunk (caller averages)."""
+    this chunk (caller averages). With half=True, cull at cs/2 AABBs but
+    charge whole cs-chunks (union of the two children's pass masks) —
+    the exact candidate volume of a cluster_size=cs engine whose refine
+    tests the two half-cluster AABBs and takes the min entry
+    (RAYCORE_CENSUS_HALF; prices NEXT.md lever #1's refined variant)."""
     out = {}
     for cs in grans:
-        bmin, bmax = bounds_at(scene, cs)
+        bmin, bmax = bounds_at(scene, cs // 2 if half else cs)
         K = bmin.shape[0]
         Rc = o.shape[0]
         # chunk over bounds to cap memory
         stats = {G: [0, 0] for G in Gs}
-        CH = max(1, (1 << 24) // Rc)
+        CH = max(2, (1 << 24) // Rc & ~1)   # even: keep sibling pairs
         for lo in range(0, K, CH):
             E = entry_vs_bounds(o, d, bmin[lo:lo + CH], bmax[lo:lo + CH])
+            if half:
+                # parent entry = min over the two children; parent
+                # passes iff either child does
+                E = E.reshape(Rc, -1, 2).min(axis=2)
             for G in Gs:
                 Eg = E.reshape(Rc // G, G, -1).min(axis=1)
                 th = t_hit.reshape(Rc // G, G).max(axis=1)
@@ -187,7 +195,9 @@ def main():
         E_c = entry_vs_bounds(o, d, bmin_c, bmax_c)
         t_hit = exact_t_hit(scene, o, d, E_c)
         hit_n += int(jnp.sum(jnp.isfinite(t_hit)))
-        rows = census_rows(scene, o, d, t_hit, grans, Gs)
+        rows = census_rows(scene, o, d, t_hit, grans, Gs,
+                           half=bool(int(os.environ.get(
+                               "RAYCORE_CENSUS_HALF", "0"))))
         for k, v in rows.items():
             acc[k][0] += v[0]
             acc[k][1] += v[1]
