@@ -51,7 +51,12 @@ def main():
     # Two materials in a checker pattern over triangle index.
     meta = (jnp.arange(mesh.batch_shape[0], dtype=jnp.uint32) // 64) % 2
     mesh = mesh.replace(metadata=meta)
-    scene = build_dense(mesh, cluster_size=128)
+    # cluster_size follows the part-F device A/B winner (C=256, the
+    # product default; RAYCORE_PT_CLUSTER overrides for A/Bs). The
+    # frame's 1M-ray closest query is the SAME shape as the headline
+    # bench, so a post-part-F machine already has its graphs cached.
+    scene = build_dense(mesh, cluster_size=int(
+        os.environ.get("RAYCORE_PT_CLUSTER", "256")))
     float(scene.tri_feats[0, 0, 0])
     print(f"{mesh.batch_shape[0]} tris, {side}x{side}, 4 bounces, "
           f"backend={jax.default_backend()}", flush=True)
