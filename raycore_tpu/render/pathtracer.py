@@ -276,28 +276,66 @@ def trace_paths_staged(scene, materials: Materials, lights: PointLights,
     misses do not repeat). Prewarm the scene first (rc.prewarm) —
     unwarmed engines run synchronously and the pipeline degrades to the
     plain staged driver."""
+    return trace_paths_staged_batch(scene, materials, lights, cam, [key],
+                                    cfg, pool=pool, tex_refs=tex_refs,
+                                    pipelined=pipelined)[0]
+
+
+def trace_paths_staged_batch(scene, materials: Materials,
+                             lights: PointLights, cam: Camera, keys,
+                             cfg: PTConfig, pool: TexturePool = None,
+                             tex_refs=None, pipelined: bool = False):
+    """Batched staged path trace: F independent frames (one PRNG key
+    each) ride EVERY engine query as one concatenated F*R-ray batch ->
+    (F, H, W, 3). Each frame samples the SAME paths as a solo
+    trace_paths_staged call with its key (per-frame key chains; the
+    per-bounce draws are indexed by original ray id, so the cross-frame
+    compaction permutation never changes a ray's randoms) — outputs
+    match to float ulp, the residual being XLA's different reduction
+    fusion at the F*R shape (tests/test_pathtracer.py measures 9e-08).
+
+    Why: device A/B rows show the regrouped engine runs 4M-ray queries
+    at 1.26-1.35x the per-ray rate of 1M-ray queries (batch
+    amortization, docs/performance.md round 5 part G), so an animation
+    or spp-accumulation driver should render frames in batches of 2-4
+    rather than one at a time. Composes with pipelined=True, which
+    additionally chains the batch's 2B queries into back-to-back device
+    dispatches with one validation sync per batch."""
     H, W, spp, B = cfg.height, cfg.width, cfg.spp, cfg.bounces
     R = H * W * spp
+    F = len(keys)
+    RT = F * R
     bg = jnp.asarray(cfg.background, jnp.float32)
     n_lights = lights.position.shape[0]
 
     def frame(deferred: bool):
         fin = []
-        fkey, kp = jax.random.split(key)
-        rays = generate_primary_rays(cam, W, H, spp, kp)
-        o, d = rays.o, rays.d
-        throughput = jnp.ones((R, 3), jnp.float32)
-        radiance = jnp.zeros((R, 3), jnp.float32)
-        alive = jnp.ones((R,), bool)
-        order_acc = jnp.arange(R)
-        fkey_loop = fkey
+        split = [jax.random.split(k) for k in keys]
+        prim = [generate_primary_rays(cam, W, H, spp, kp)
+                for _, kp in split]
+        o = jnp.concatenate([r.o for r in prim])
+        d = jnp.concatenate([r.d for r in prim])
+        throughput = jnp.ones((RT, 3), jnp.float32)
+        radiance = jnp.zeros((RT, 3), jnp.float32)
+        alive = jnp.ones((RT,), bool)
+        order_acc = jnp.arange(RT)
+        fkeys = [fk for fk, _ in split]
 
         for bounce in range(B):
-            fkey_loop, k_l, k_b, k_r = jax.random.split(fkey_loop, 4)
+            kl, kb, kr = [], [], []
+            for f in range(F):
+                fkeys[f], k_l, k_b, k_r = jax.random.split(fkeys[f], 4)
+                kl.append(jax.random.randint(k_l, (R,), 0, n_lights))
+                kb.append(jax.random.uniform(k_b, (R, 3)))
+                kr.append(jax.random.normal(k_r, (R, 3)))
+            # Index the draws by ORIGINAL ray id (frame-major), then
+            # apply the accumulated compaction permutation: ray i of
+            # frame f sees the same randoms as in its solo frame no
+            # matter where compaction moved it.
             perm = order_acc
-            u_l = jax.random.randint(k_l, (R,), 0, n_lights)[perm]
-            u_b = jax.random.uniform(k_b, (R, 3))[perm]
-            u_r = jax.random.normal(k_r, (R, 3))[perm]
+            u_l = jnp.concatenate(kl)[perm]
+            u_b = jnp.concatenate(kb)[perm]
+            u_r = jnp.concatenate(kr)[perm]
 
             res = _disp.scene_closest_hit(
                 scene, Ray.create(o=o, d=d,
@@ -327,18 +365,18 @@ def trace_paths_staged(scene, materials: Materials, lights: PointLights,
 
         inv = jnp.argsort(order_acc)
         radiance = radiance[inv]
-        img = radiance.reshape(H, W, spp, 3).mean(axis=2)
+        img = radiance.reshape(F, H, W, spp, 3).mean(axis=3)
         return jnp.clip(img, 0.0, 1.0), fin
 
     if pipelined:
         img, fin = frame(deferred=True)
-        # One sync for the whole frame: each finalizer blocks on its
+        # One sync for the whole batch: each finalizer blocks on its
         # query's totals (the device has long since moved on) and
         # reports whether the capacity prediction held.
         if all(f() is not None for f in fin if f is not None):
             return img
-        # A prediction missed -> the unsynced frame is garbage. Re-run
+        # A prediction missed -> the unsynced batch is garbage. Re-run
         # per-query; the sync path auto-sizes and sticky-maxes the
-        # missed capacities, so the next pipelined frame stays valid.
+        # missed capacities, so the next pipelined batch stays valid.
     img, _ = frame(deferred=False)
     return img

@@ -94,6 +94,30 @@ def test_staged_matches_jitted(room):
 
 
 @pytest.mark.slow
+def test_staged_batch_matches_solo_frames(room):
+    """The F-frame batched driver (one concatenated F*R-ray query per
+    stage — the batch-amortization production path) must match F solo
+    trace_paths_staged calls with the same keys to float ulp: per-frame
+    key chains + original-ray-id-indexed draws make the cross-frame
+    compaction permutation invisible to each ray, so every ray samples
+    the SAME path; the only residual is XLA fusing the shading
+    reductions differently at the 2R shape (measured 9e-08 max abs on
+    this scene — tie-flips or draw mixups would show at 1e-2)."""
+    from raycore_tpu.render.pathtracer import (trace_paths_staged,
+                                               trace_paths_staged_batch)
+    scene, mats, lights, cam = room
+    cfg = PTConfig(width=24, height=16, spp=2, bounces=3, tile_size=256)
+    k1, k2 = jax.random.PRNGKey(5), jax.random.PRNGKey(11)
+    solo = np.stack([np.asarray(trace_paths_staged(scene, mats, lights,
+                                                   cam, k, cfg))
+                     for k in (k1, k2)])
+    batch = np.asarray(trace_paths_staged_batch(scene, mats, lights, cam,
+                                                [k1, k2], cfg))
+    assert batch.shape == (2, 16, 24, 3)
+    np.testing.assert_allclose(solo, batch, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_staged_pipelined_matches(room):
     """pipelined=True (deferred whole-frame dispatch) is bit-identical
     to the per-query staged driver: the deferral only removes host
