@@ -163,6 +163,37 @@ def test_staged_pipelined_dense_regroup(monkeypatch):
 
 
 @pytest.mark.slow
+def test_staged_batch_pipelined_dense_regroup(monkeypatch):
+    """The advertised production mode end-to-end: F=2 frames batched
+    into every query AND chained through the deferred regroup route.
+    Warm the 2R-ray query shape per-query first, then the pipelined
+    batch must match it bit-for-bit (deferral never changes values),
+    and each frame must match its solo per-query render to ulp."""
+    from raycore_tpu.render.pathtracer import (trace_paths_staged,
+                                               trace_paths_staged_batch)
+    from raycore_tpu.accel.dense import build_dense
+    from raycore_tpu.accel import dispatch as _disp
+    from raycore_tpu.render.wavefront import Materials, PointLights, Camera
+    monkeypatch.setattr(_disp, "REGROUP_MIN_RAYS", 256)
+    monkeypatch.setenv("RAYCORE_DISPATCH_REGROUP", "1")
+    tris = rc.displaced_grid_mesh(n=24)
+    ds = build_dense(tris, cluster_size=64)
+    mats = Materials.create(base_color=np.full((2000, 3), 0.6, np.float32))
+    lights = PointLights(position=jnp.asarray([[0.0, 0, 5.0]]),
+                         intensity=jnp.asarray([[20.0, 20, 20]]))
+    cam = Camera.create(position=(0, -3, 2.5), target=(0, 0, 0))
+    cfg = PTConfig(width=32, height=16, spp=1, bounces=2, tile_size=256)
+    k1, k2 = jax.random.PRNGKey(3), jax.random.PRNGKey(9)
+    a = np.asarray(trace_paths_staged_batch(ds, mats, lights, cam,
+                                            [k1, k2], cfg))
+    b = np.asarray(trace_paths_staged_batch(ds, mats, lights, cam,
+                                            [k1, k2], cfg, pipelined=True))
+    np.testing.assert_array_equal(a, b)
+    solo = np.asarray(trace_paths_staged(ds, mats, lights, cam, k2, cfg))
+    np.testing.assert_allclose(a[1], solo, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_staged_dense_scene():
     from raycore_tpu.render.pathtracer import trace_paths_staged
     from raycore_tpu.accel.dense import build_dense
